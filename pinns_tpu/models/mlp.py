@@ -1,0 +1,149 @@
+"""Tanh MLP with domain-normalized inputs, as a pure-function pytree model.
+
+Reference parity (behavior, not code): the per-script ``initialize_NN`` /
+``xavier_init`` / ``neural_net`` trio, e.g.
+``/root/reference/Burgers/continuous_identification/Abgrall_ADMM.py:136-164``:
+
+- per-layer weights drawn truncated-normal (+/- 2 sigma) with
+  std = sqrt(2 / (fan_in + fan_out)); biases zero;
+- inputs affinely rescaled to [-1, 1] via domain bounds lb/ub before the first
+  layer (``Abgrall_ADMM.py:156``);
+- tanh hidden layers, linear head.
+
+TPU-first deltas: params are a plain pytree (list of {'W','b'} dicts) so they
+compose with jit / vmap (stacked ensembles) / pjit sharding; matmul precision
+is an explicit knob (f32 inputs can run on the MXU as bf16 passes — 'default'
+— or as float32-accurate 'highest', which PINN second derivatives need).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = list  # list of {'W': (din, dout), 'b': (1, dout)} dicts
+
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPSpec:
+    """Static (hashable) description of a domain-normalized tanh MLP.
+
+    Attributes:
+      layers: layer widths, e.g. (2, 20, 20, ..., 1). layers[0] is the input
+        dimension (x, t), layers[-1] the number of PDE fields.
+      lb / ub: domain lower/upper bounds per input dimension; inputs are
+        rescaled to [-1, 1] with them.
+      dtype: parameter / compute dtype (jnp.float32 by default).
+      precision: matmul precision — 'highest' keeps float32 MXU accuracy,
+        which the u_xx path requires; 'default' allows bf16 MXU passes.
+    """
+
+    layers: tuple
+    lb: tuple
+    ub: tuple
+    dtype: Any = jnp.float32
+    precision: str = "highest"
+
+    def __post_init__(self):
+        object.__setattr__(self, "layers", tuple(int(w) for w in self.layers))
+        object.__setattr__(self, "lb", tuple(float(v) for v in self.lb))
+        object.__setattr__(self, "ub", tuple(float(v) for v in self.ub))
+        if len(self.lb) != self.layers[0] or len(self.ub) != self.layers[0]:
+            raise ValueError(
+                f"lb/ub must have length layers[0]={self.layers[0]}, "
+                f"got {len(self.lb)}/{len(self.ub)}"
+            )
+
+    @property
+    def lax_precision(self) -> jax.lax.Precision:
+        return _PRECISIONS[self.precision]
+
+    @property
+    def in_dim(self) -> int:
+        return self.layers[0]
+
+    @property
+    def out_dim(self) -> int:
+        return self.layers[-1]
+
+    @property
+    def n_params(self) -> int:
+        return sum(
+            din * dout + dout for din, dout in zip(self.layers[:-1], self.layers[1:])
+        )
+
+
+def init_mlp(key: jax.Array, spec: MLPSpec) -> Params:
+    """Initialize params: truncated-normal W (std sqrt(2/(din+dout))), zero b.
+
+    Matches the reference's ``xavier_init`` (``Abgrall_ADMM.py:147-151``):
+    TF1 ``truncated_normal`` redraws beyond 2 sigma, which is exactly
+    ``jax.random.truncated_normal(-2, 2) * std``.
+    """
+    n_layers = len(spec.layers) - 1
+    keys = jax.random.split(key, n_layers)
+    params = []
+    for k, din, dout in zip(keys, spec.layers[:-1], spec.layers[1:]):
+        std = math.sqrt(2.0 / (din + dout))
+        w = std * jax.random.truncated_normal(
+            k, -2.0, 2.0, (din, dout), dtype=spec.dtype
+        )
+        b = jnp.zeros((1, dout), dtype=spec.dtype)
+        params.append({"W": w, "b": b})
+    return params
+
+
+def normalize_inputs(spec: MLPSpec, x: jax.Array) -> jax.Array:
+    """Affine rescale of inputs to [-1, 1] (``Abgrall_ADMM.py:156``)."""
+    lb = jnp.asarray(spec.lb, dtype=spec.dtype)
+    ub = jnp.asarray(spec.ub, dtype=spec.dtype)
+    return 2.0 * (x - lb) / (ub - lb) - 1.0
+
+
+def input_scale(spec: MLPSpec) -> jax.Array:
+    """d(normalized input)/d(raw input) per dimension: 2 / (ub - lb)."""
+    lb = jnp.asarray(spec.lb, dtype=spec.dtype)
+    ub = jnp.asarray(spec.ub, dtype=spec.dtype)
+    return 2.0 / (ub - lb)
+
+
+def mlp_apply(spec: MLPSpec, params: Params, x: jax.Array) -> jax.Array:
+    """Forward pass: normalize -> tanh hidden layers -> linear head.
+
+    x: (N, in_dim) -> (N, out_dim). Matches ``neural_net``
+    (``Abgrall_ADMM.py:153-164``) semantics.
+    """
+    h = normalize_inputs(spec, x)
+    prec = spec.lax_precision
+    for layer in params[:-1]:
+        h = jnp.tanh(jnp.dot(h, layer["W"], precision=prec) + layer["b"])
+    last = params[-1]
+    return jnp.dot(h, last["W"], precision=prec) + last["b"]
+
+
+def stack_params(params_list: Sequence[Params]) -> Params:
+    """Stack an ensemble of same-shaped param pytrees along a new leading axis.
+
+    The stacked pytree is what ``jax.vmap``-ed training steps consume — the
+    TPU-native replacement for the reference's MPI job farm of independent
+    runs (``scheduler.py:70-127``).
+    """
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *params_list)
+
+
+def unstack_params(stacked: Params, n: int) -> list:
+    """Inverse of :func:`stack_params`."""
+    return [
+        jax.tree_util.tree_map(lambda x, i=i: x[i], stacked) for i in range(n)
+    ]

@@ -1,0 +1,110 @@
+"""Taylor-mode propagation of directional derivatives through the tanh MLP.
+
+This is the TPU-native replacement for the reference's chained reverse-mode
+``tf.gradients`` calls (three sweeps for Burgers —
+``/root/reference/Burgers/continuous_identification/Abgrall_ADMM.py:170-180``
+— and eight sweeps over products for Euler — ``Euler_ADMM.py:176-198``).
+Instead of re-walking the graph per derivative, we propagate the tuple
+(value, d/dx, d/dt, d2/dx2) analytically layer by layer in ONE forward pass:
+
+  P = H  @ W + b          Px = Hx @ W        Pt = Ht @ W        Pxx = Hxx @ W
+  s = tanh(P)             s' = 1 - s^2       s'' = -2 s s'
+  H = s                   Hx = s' Px         Ht = s' Pt         Hxx = s'' Px^2 + s' Pxx
+
+i.e. 4 MXU matmuls + a few VPU elementwise ops per layer, all fused by XLA
+into a single program. The whole thing is plain jnp, so reverse-mode
+``jax.grad`` for training differentiates straight through it (third-order
+mixed AD), and it composes with jit / vmap / pjit sharding.
+
+Equivalent nested-jvp formulations live in ``pinns_tpu.ops.derivatives`` and
+are used in tests to cross-validate these closed forms.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from pinns_tpu.models.mlp import MLPSpec, Params, input_scale, normalize_inputs
+
+
+def mlp_taylor_1(
+    spec: MLPSpec, params: Params, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Value and first directional derivatives along input dims 0 and 1.
+
+    Args:
+      spec: static MLP description (in_dim must be 2: columns are (x, t)).
+      params: MLP pytree.
+      x: (N, 2) evaluation points.
+
+    Returns:
+      (y, y_x, y_t), each (N, out_dim): network outputs and their partial
+      derivatives w.r.t. the raw (un-normalized) x and t inputs.
+    """
+    if spec.in_dim != 2:
+        raise ValueError("mlp_taylor_1 expects in_dim == 2 (x, t)")
+    prec = spec.lax_precision
+    scale = input_scale(spec)  # (2,) — chain rule factor of the [-1,1] rescale
+
+    h = normalize_inputs(spec, x)
+    # Tangent rows: d(normalized input)/dx = [sx, 0], /dt = [0, st].
+    hx = jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale
+    ht = jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale
+
+    for layer in params[:-1]:
+        w, b = layer["W"], layer["b"]
+        p = jnp.dot(h, w, precision=prec) + b
+        px = jnp.dot(hx, w, precision=prec)
+        pt = jnp.dot(ht, w, precision=prec)
+        s = jnp.tanh(p)
+        sp = 1.0 - s * s
+        h, hx, ht = s, sp * px, sp * pt
+
+    w, b = params[-1]["W"], params[-1]["b"]
+    y = jnp.dot(h, w, precision=prec) + b
+    y_x = jnp.dot(hx, w, precision=prec)
+    y_t = jnp.dot(ht, w, precision=prec)
+    return y, y_x, y_t
+
+
+def mlp_taylor_2(
+    spec: MLPSpec, params: Params, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Value, first derivatives, and second derivative along input dim 0.
+
+    Returns (y, y_x, y_t, y_xx), each (N, out_dim). The second-derivative
+    recurrence uses tanh'' = -2 tanh (1 - tanh^2), so y_xx costs one extra
+    matmul per layer instead of a full reverse-over-reverse sweep.
+    """
+    if spec.in_dim != 2:
+        raise ValueError("mlp_taylor_2 expects in_dim == 2 (x, t)")
+    prec = spec.lax_precision
+    scale = input_scale(spec)
+
+    h = normalize_inputs(spec, x)
+    hx = jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale
+    ht = jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale
+    hxx = None  # identically zero at the input (affine rescale)
+
+    for layer in params[:-1]:
+        w, b = layer["W"], layer["b"]
+        p = jnp.dot(h, w, precision=prec) + b
+        px = jnp.dot(hx, w, precision=prec)
+        pt = jnp.dot(ht, w, precision=prec)
+        pxx = None if hxx is None else jnp.dot(hxx, w, precision=prec)
+        s = jnp.tanh(p)
+        sp = 1.0 - s * s
+        spp = -2.0 * s * sp
+        h = s
+        hxx = spp * px * px if pxx is None else spp * px * px + sp * pxx
+        hx = sp * px
+        ht = sp * pt
+
+    w, b = params[-1]["W"], params[-1]["b"]
+    y = jnp.dot(h, w, precision=prec) + b
+    y_x = jnp.dot(hx, w, precision=prec)
+    y_t = jnp.dot(ht, w, precision=prec)
+    y_xx = jnp.dot(hxx, w, precision=prec)
+    return y, y_x, y_t, y_xx
