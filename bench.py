@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Benchmark: collocation points/sec on the flagship Burgers ADMM step.
+
+Primary metric: canonical config (N_u=100, N_f=1000, rho=10, 8x20 tanh MLP —
+``Abgrall_ADMM.py:29-34,269``), full fused train step (forward + Taylor-mode
+residual + grads + Adam + on-device resample + ADMM z/dual updates), scanned
+in chunks of 1000 — i.e., the same per-epoch work as the reference hot loop
+(``Abgrall_ADMM.py:210-226``) including its separate z/gamma residual
+re-evaluations, executed as one XLA program.
+
+vs_baseline: ratio against the measured CPU reference-pattern throughput
+(torch eager faithful reimplementation of the TF1 loop, 6 threads —
+``benchmarks/reference_cpu_baseline.py``; see BASELINE.md).
+
+Also reported (extra fields): the 1M-point wide-net scale config
+(``burgers_scale`` preset) points/sec on this chip.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Measured by benchmarks/reference_cpu_baseline.py on this image's CPU
+# (6 threads, canonical abgrall_admm config). Regenerate with:
+#   python benchmarks/reference_cpu_baseline.py 300
+CPU_REFERENCE_PTS_PER_SEC = 14_931.0
+
+
+def _bench_chunk(trainer, chunk_len, n_chunks, n_f):
+    state = trainer.init_state()
+    run = trainer._get_chunk("adam", chunk_len)
+    # compile + warmup
+    state, _ = run(state)
+    jax.block_until_ready(state)
+    t0 = time.time()
+    for _ in range(n_chunks):
+        state, metrics = run(state)
+    jax.block_until_ready(state)
+    dt = time.time() - t0
+    steps = chunk_len * n_chunks
+    assert bool(jnp.isfinite(metrics["loss"][-1]))
+    return steps / dt * n_f, steps / dt
+
+
+def main():
+    from pinns_tpu.config import override
+    from pinns_tpu.experiments import get_preset
+    from pinns_tpu.train import Trainer
+
+    # --- primary: canonical flagship config ---------------------------------
+    exp = get_preset("abgrall_admm")
+    trainer = Trainer(exp)
+    pts_per_sec, steps_per_sec = _bench_chunk(
+        trainer, chunk_len=1000, n_chunks=3, n_f=exp.sampling.n_f
+    )
+
+    # --- secondary: 1M-point scale config -----------------------------------
+    scale = override(get_preset("burgers_scale"), {"train.chunk": 10})
+    scale_tr = Trainer(scale)
+    scale_pts, scale_steps = _bench_chunk(
+        scale_tr, chunk_len=10, n_chunks=2, n_f=scale.sampling.n_f
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "collocation_pts_per_sec_flagship_admm_step",
+                "value": round(pts_per_sec, 1),
+                "unit": "pts/sec/chip",
+                "vs_baseline": round(pts_per_sec / CPU_REFERENCE_PTS_PER_SEC, 2),
+                "extra": {
+                    "steps_per_sec_canonical": round(steps_per_sec, 1),
+                    "scale_1M_pts_per_sec": round(scale_pts, 1),
+                    "scale_steps_per_sec": round(scale_steps, 2),
+                    "device": str(jax.devices()[0]),
+                    "cpu_baseline_pts_per_sec": CPU_REFERENCE_PTS_PER_SEC,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

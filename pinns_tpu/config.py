@@ -1,0 +1,138 @@
+"""Typed experiment configuration.
+
+The reference configures each run with a per-script ``class Parameters`` of
+class attributes overridden positionally from ``sys.argv``
+(``Abgrall_ADMM.py:29-34, 412-421``) plus hard-coded dataset paths and layer
+lists inside ``load_data``. Here the same knob set (N_u, N_f, rho/pen, epochs,
+layers, dataset, lambda1/lambda2, optimizer schedule) is one frozen dataclass
+tree, hashable so jitted step factories can close over it, with dict/CLI
+overrides (see ``pinns_tpu.cli``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+def _frozen(cls):
+    return dataclasses.dataclass(frozen=True)(cls)
+
+
+@_frozen
+class ModelConfig:
+    layers: Tuple[int, ...] = (2, 20, 20, 20, 20, 20, 20, 20, 20, 1)
+    precision: str = "highest"  # matmul precision: 'default'|'high'|'highest'
+    dtype: str = "float32"
+
+
+@_frozen
+class PDEConfig:
+    kind: str = "burgers"  # 'burgers' | 'euler'
+    lambda1: float = 1.0  # convection coefficient (Burgers)
+    lambda2: float = 0.0  # viscosity (Burgers)
+    gamma: float = 1.4  # ratio of specific heats (Euler)
+    train_coeffs: bool = False  # identification mode: lambda1/2 trainable
+    lambda2_transform: str = "identity"  # 'identity' | 'exp' (positivity)
+
+
+@_frozen
+class SamplingConfig:
+    n_f: int = 1000
+    # 'resample_uniform': fresh on-device uniform batch every step
+    #   (Abgrall_ADMM.py:220-223)
+    # 'fixed_uniform':   one uniform batch at init, kept fixed
+    # 'fixed_lhs':       Latin hypercube at init, kept fixed
+    # 'fixed_lhs_anchored': LHS stacked with the data points
+    #   (Hwan_L2Regularization_Burgers.py:183-184)
+    strategy: str = "resample_uniform"
+    seed: int = 1234
+    # Split the collocation batch into this many rematerialized microbatches
+    # (lax.scan + jax.checkpoint) so activation memory stays at
+    # n_f/microbatch scale — how million-point batches fit in HBM.
+    microbatch: int = 1
+
+
+@_frozen
+class LossConfig:
+    data_kind: str = "mse_sum"  # 'mse_sum' | 'l2_norm'
+    residual_kind: str = "admm"  # 'mean_sq'|'l2_sq_norm'|'l1_sq_norm'|'admm'
+    rho: float = 10.0  # ADMM penalty (the Euler script calls it `pen`)
+    explicit_inner: bool = False  # Hwan ADMM's dual^T r term
+
+
+@_frozen
+class LBFGSConfig:
+    max_iters: int = 5000  # reference ScipyOptimizerInterface maxiter
+    history: int = 50  # maxcor
+    max_ls: int = 50  # maxls
+    ftol: float = 1e-7
+    gtol: float = 1e-5
+
+
+@_frozen
+class OptimizerConfig:
+    kind: str = "adam"  # 'adam' | 'lbfgs' | 'hybrid'
+    learning_rate: float = 1e-3  # AdamOptimizer(learning_rate=0.001)
+    switch_epoch: int = 50_000  # Adam -> L-BFGS switch (Abgrall_ADMM.py:213)
+    lbfgs: LBFGSConfig = LBFGSConfig()
+
+
+@_frozen
+class DataConfig:
+    dataset: str = "twosin_burgers_shock"  # key or path
+    n_u: int = 100
+    selection: str = "ic_bc"  # 'ic_bc' | 'interior' (identification)
+    seed: int = 1234
+    noise: float = 0.0
+
+
+@_frozen
+class MeshConfig:
+    data_parallel: int = 1  # number of shards along the collocation axis
+    ensemble: int = 1  # vmapped ensemble width
+
+
+@_frozen
+class TrainConfig:
+    epochs: int = 100_000
+    chunk: int = 1000  # steps fused into one lax.scan device call
+    log_every: int = 1000
+    snapshot_every: int = 0  # full-grid prediction snapshots; 0 = off
+    checkpoint_every: int = 0  # 0 = only final
+    seed: int = 1234
+    out_dir: str = ""  # empty = no file output
+
+
+@_frozen
+class Experiment:
+    name: str = "experiment"
+    model: ModelConfig = ModelConfig()
+    pde: PDEConfig = PDEConfig()
+    sampling: SamplingConfig = SamplingConfig()
+    loss: LossConfig = LossConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    data: DataConfig = DataConfig()
+    mesh: MeshConfig = MeshConfig()
+    train: TrainConfig = TrainConfig()
+
+    def replace(self, **kw) -> "Experiment":
+        return dataclasses.replace(self, **kw)
+
+
+def override(exp: Experiment, updates: dict) -> Experiment:
+    """Apply nested dotted-key overrides, e.g. {'sampling.n_f': 4000}."""
+    for key, value in updates.items():
+        parts = key.split(".")
+        if len(parts) == 1:
+            exp = dataclasses.replace(exp, **{parts[0]: value})
+            continue
+        # rebuild the nested frozen dataclasses along the path
+        objs = [exp]
+        for p in parts[:-1]:
+            objs.append(getattr(objs[-1], p))
+        value_ = value
+        for i in range(len(parts) - 1, -1, -1):
+            value_ = dataclasses.replace(objs[i], **{parts[i]: value_})
+        exp = value_
+    return exp

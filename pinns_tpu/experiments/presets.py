@@ -1,0 +1,183 @@
+"""The reference experiment inventory as Experiment configs (SURVEY.md §2.1).
+
+One preset per reference training script, with the same hyperparameters, loss
+normalizations, dataset, net width, sampling strategy, and optimizer schedule
+— plus framework-native presets (inverse identification, scale benchmark) the
+reference only gestures at.
+
+| preset                | reference script (file:lines for key deltas)        |
+|-----------------------|-----------------------------------------------------|
+| hwan_l2               | Burgers/continuous_inference/Hwan_L2Regularization_Burgers.py:68-69,153-158 |
+| hwan_admm             | Burgers/continuous_inference/Hwan_L1Regularization_ADMM_Burgers.py:98-100,233-238,270-271 |
+| abgrall_admm          | Burgers/continuous_identification/Abgrall_ADMM.py:29-34,66-73,129-130,269-271 |
+| abgrall_l1            | Burgers/continuous_identification/Abgrall_L1.py:30-32,59-60,237-239 |
+| abgrall_l2            | Burgers/continuous_identification/Abgrall_L2.py:30-32,59-60,247-249 |
+| burgers_admm_batch    | Burgers/continuous_identification/Burgers_ADMM_batch.py:30-32,95,118-119,244-246 |
+| burgers_batch_l1sq    | Burgers/continuous_identification/Burgers_batch_L2.py:30-32,57-58,90,202-204 (filename says L2; the loss is squared-L1) |
+| euler_admm            | Eulers/continuous_inference/Euler_ADMM.py:29-34,128-141,279-281 |
+| burgers_forward       | canonical Raissi forward problem (burgers_shock.mat, nu=0.01/pi) |
+| burgers_inverse       | identification: trainable lambda1/lambda2 from interior data |
+| burgers_scale         | 1M collocation points, data-parallel mesh (BASELINE.json config) |
+"""
+
+from __future__ import annotations
+
+import math
+
+from pinns_tpu.config import (
+    DataConfig,
+    Experiment,
+    LossConfig,
+    MeshConfig,
+    ModelConfig,
+    OptimizerConfig,
+    PDEConfig,
+    SamplingConfig,
+    TrainConfig,
+)
+
+NARROW = (2,) + (20,) * 8 + (1,)  # [2, 20 x 8, 1]
+WIDE = (2,) + (200,) * 8 + (1,)  # [2, 200 x 8, 1]
+EULER_TRUNK = (2,) + (200,) * 5 + (3,)  # [2, 200 x 5, 3]
+NU = 0.01 / math.pi  # 0.0031831, the canonical Burgers viscosity
+
+
+def _exp(**kw) -> Experiment:
+    return Experiment(**kw)
+
+
+PRESETS = {
+    # --- Burgers continuous_inference (forward) --------------------------
+    "hwan_l2": _exp(
+        name="hwan_l2",
+        model=ModelConfig(layers=NARROW),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=0.0),
+        sampling=SamplingConfig(n_f=10_000, strategy="fixed_lhs_anchored"),
+        loss=LossConfig(data_kind="l2_norm", residual_kind="mean_sq"),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="abgrall_burgers_shock", n_u=100),
+        train=TrainConfig(epochs=100_000),
+    ),
+    "hwan_admm": _exp(
+        name="hwan_admm",
+        model=ModelConfig(layers=NARROW),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=0.0),
+        sampling=SamplingConfig(n_f=10_000, strategy="fixed_lhs_anchored"),
+        loss=LossConfig(
+            data_kind="mse_sum", residual_kind="admm", rho=10.0,
+            explicit_inner=True,
+        ),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="burgers_shock", n_u=100),
+        train=TrainConfig(epochs=100_000),
+    ),
+    # --- Burgers continuous_identification -------------------------------
+    "abgrall_admm": _exp(
+        name="abgrall_admm",
+        model=ModelConfig(layers=NARROW),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=0.0),
+        sampling=SamplingConfig(n_f=1000, strategy="resample_uniform"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="admm", rho=10.0),
+        optimizer=OptimizerConfig(kind="hybrid", switch_epoch=50_000),
+        data=DataConfig(dataset="twosin_burgers_shock", n_u=100),
+        train=TrainConfig(epochs=100_000),
+    ),
+    "abgrall_l1": _exp(
+        name="abgrall_l1",
+        model=ModelConfig(layers=WIDE),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=0.0),
+        sampling=SamplingConfig(n_f=1000, strategy="resample_uniform"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="l1_sq_norm"),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="abgrall_burgers_shock", n_u=100),
+        train=TrainConfig(epochs=100_000),
+    ),
+    "abgrall_l2": _exp(
+        name="abgrall_l2",
+        model=ModelConfig(layers=WIDE),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=0.0),
+        sampling=SamplingConfig(n_f=1000, strategy="resample_uniform"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="l2_sq_norm"),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="abgrall_burgers_shock", n_u=100),
+        train=TrainConfig(epochs=100_000),
+    ),
+    "burgers_admm_batch": _exp(
+        name="burgers_admm_batch",
+        model=ModelConfig(layers=NARROW),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=NU),
+        sampling=SamplingConfig(n_f=5000, strategy="resample_uniform"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="admm", rho=40.0),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="burgers_shock", n_u=100),
+        train=TrainConfig(epochs=100_000),
+    ),
+    "burgers_batch_l1sq": _exp(
+        name="burgers_batch_l1sq",
+        model=ModelConfig(layers=NARROW),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=NU),
+        sampling=SamplingConfig(n_f=1000, strategy="fixed_uniform"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="l1_sq_norm"),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="burgers_shock", n_u=100),
+        train=TrainConfig(epochs=100_000),
+    ),
+    # --- Euler continuous_inference --------------------------------------
+    "euler_admm": _exp(
+        name="euler_admm",
+        model=ModelConfig(layers=EULER_TRUNK),
+        pde=PDEConfig(kind="euler", gamma=1.4),
+        sampling=SamplingConfig(n_f=1000, strategy="resample_uniform"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="admm", rho=40.0),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="abgrall_eulers", n_u=200),
+        train=TrainConfig(epochs=100_000),
+    ),
+    # --- framework-native presets ----------------------------------------
+    "burgers_forward": _exp(
+        name="burgers_forward",
+        model=ModelConfig(layers=NARROW),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=NU),
+        sampling=SamplingConfig(n_f=10_000, strategy="fixed_lhs_anchored"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="mean_sq"),
+        optimizer=OptimizerConfig(kind="hybrid", switch_epoch=10_000),
+        data=DataConfig(dataset="burgers_shock", n_u=100),
+        train=TrainConfig(epochs=10_050),
+    ),
+    "burgers_inverse": _exp(
+        name="burgers_inverse",
+        model=ModelConfig(layers=NARROW),
+        pde=PDEConfig(
+            kind="burgers",
+            lambda1=0.0,
+            lambda2=-6.0,
+            train_coeffs=True,
+            lambda2_transform="exp",
+        ),
+        sampling=SamplingConfig(n_f=10_000, strategy="fixed_lhs"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="mean_sq"),
+        optimizer=OptimizerConfig(kind="hybrid", switch_epoch=10_000),
+        data=DataConfig(dataset="burgers_shock", n_u=2000, selection="interior"),
+        train=TrainConfig(epochs=10_050),
+    ),
+    "burgers_scale": _exp(
+        name="burgers_scale",
+        model=ModelConfig(layers=WIDE),
+        pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=NU),
+        sampling=SamplingConfig(n_f=1_048_576, strategy="resample_uniform", microbatch=16),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="mean_sq"),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="burgers_shock", n_u=100),
+        mesh=MeshConfig(data_parallel=1),
+        train=TrainConfig(epochs=1000, chunk=100),
+    ),
+}
+
+
+def get_preset(name: str) -> Experiment:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+        ) from None

@@ -1,0 +1,7 @@
+from pinns_tpu.parallel.mesh import make_mesh, multihost_init
+from pinns_tpu.parallel.sharding import shard_trainer, place_state
+from pinns_tpu.parallel.ensemble import (
+    init_ensemble_states,
+    make_ensemble_chunk,
+    evaluate_ensemble,
+)

@@ -1,0 +1,98 @@
+"""Data-parallel collocation sharding of the training step.
+
+The natural PINN parallelism: collocation points are embarrassingly parallel
+(every loss term is a pointwise reduction, ``Abgrall_ADMM.py:129-130``), so
+the collocation batch — and the ADMM (z, dual) vectors indexed by it — shard
+along the mesh 'data' axis while params, optimizer state, and the (tiny)
+supervised set stay replicated. pjit/GSPMD then partitions the whole fused
+step: per-shard Taylor-mode residuals, psum for the loss/grad reductions over
+ICI, replicated parameter update. On-device resampling generates the new
+batch directly in its sharded layout (partitionable threefry), so scaling N_f
+to millions of points costs no host traffic and no gathers.
+
+Nothing else changes: the SAME ``Trainer`` chunks run sharded after
+``shard_trainer(trainer, mesh)`` + ``place_state``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pinns_tpu.parallel.mesh import DATA_AXIS, ENSEMBLE_AXIS
+
+
+def _replicated_tree(tree, mesh):
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda _: repl, tree)
+
+
+def state_shardings(state, mesh) -> Any:
+    """A TrainState-shaped tree of NamedShardings: colloc/ADMM row-sharded
+    along 'data', everything else replicated."""
+    row = NamedSharding(mesh, P(DATA_AXIS))
+    admm = (
+        None
+        if state.admm is None
+        else jax.tree_util.tree_map(lambda _: row, state.admm)
+    )
+    return type(state)(
+        params=_replicated_tree(state.params, mesh),
+        opt_state=_replicated_tree(state.opt_state, mesh),
+        admm=admm,
+        colloc=row,
+        key=NamedSharding(mesh, P()),
+        epoch=NamedSharding(mesh, P()),
+    )
+
+
+def place_state(state, mesh):
+    """device_put the state into its data-parallel layout on the mesh."""
+    return jax.device_put(state, state_shardings(state, mesh))
+
+
+def shard_trainer(trainer, mesh):
+    """Configure a Trainer for data-parallel execution on `mesh`.
+
+    Validates divisibility, installs the collocation sharding constraint used
+    by on-device resampling, and clears compiled-chunk caches so steps
+    re-trace with the constraint. Returns the trainer (for chaining).
+    """
+    n_f = trainer.exp.sampling.n_f
+    n_data = mesh.shape[DATA_AXIS]
+    if n_f % n_data:
+        raise ValueError(
+            f"sampling.n_f={n_f} must be divisible by the mesh 'data' axis "
+            f"size {n_data}"
+        )
+    trainer.problem.colloc_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    trainer._chunks.clear()
+    return trainer
+
+
+def ensemble_state_shardings(stacked_state, mesh) -> Any:
+    """Shardings for a stacked (vmapped) ensemble state: leading axis over
+    'ensemble', collocation/ADMM additionally over 'data'."""
+    lead = NamedSharding(mesh, P(ENSEMBLE_AXIS))
+    lead_row = NamedSharding(mesh, P(ENSEMBLE_AXIS, DATA_AXIS))
+    admm = (
+        None
+        if stacked_state.admm is None
+        else jax.tree_util.tree_map(lambda _: lead_row, stacked_state.admm)
+    )
+    return type(stacked_state)(
+        params=jax.tree_util.tree_map(lambda _: lead, stacked_state.params),
+        opt_state=jax.tree_util.tree_map(lambda _: lead, stacked_state.opt_state),
+        admm=admm,
+        colloc=lead_row,
+        key=lead,
+        epoch=lead,
+    )
+
+
+def place_ensemble(stacked_state, mesh):
+    return jax.device_put(
+        stacked_state, ensemble_state_shardings(stacked_state, mesh)
+    )

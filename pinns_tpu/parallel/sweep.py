@@ -1,0 +1,146 @@
+"""Hyperparameter sweep runner — replaces the reference's MPI/NVML job farm.
+
+The reference sweeps with an MPI master-worker scheduler: rank 0 builds the
+cartesian product of hyperparameter lists (recursive ``Get_Combinations``,
+``scheduler.py:43-68``), polls NVML for idle GPUs every 30 s, and isends
+pickled scenarios to worker ranks that subprocess the training script
+(``scheduler.py:70-127, 157-169``). (That infrastructure had drifted — stale
+import at ``scheduler.py:8``.)
+
+Here the control plane is a host-side function over one statically-partitioned
+accelerator: configs that differ only in seed collapse into ONE vmapped
+ensemble program (``pinns_tpu.parallel.ensemble``); configs with different
+static shapes/hyperparameters run as separate jit specializations; failures
+are retried and recorded (the scheduler's keep-farming-on-worker-death
+behavior) with results streamed to JSONL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+import time
+import traceback
+from typing import Any, Dict, List, Optional, Sequence
+
+from pinns_tpu.config import Experiment, override
+
+
+def cartesian_grid(param_lists: Dict[str, Sequence]) -> List[Dict[str, Any]]:
+    """All combinations of dotted-key override lists.
+
+    Equivalent of the scheduler's ``Assemble_Parameters``/``Get_Combinations``
+    (``scheduler.py:43-68``): {'sampling.n_f': [100, 200], 'loss.rho': [10]}
+    -> [{'sampling.n_f': 100, 'loss.rho': 10}, {'sampling.n_f': 200, ...}].
+    """
+    keys = list(param_lists.keys())
+    return [
+        dict(zip(keys, combo))
+        for combo in itertools.product(*(param_lists[k] for k in keys))
+    ]
+
+
+@dataclasses.dataclass
+class SweepResult:
+    overrides: Dict[str, Any]
+    status: str  # 'ok' | 'failed'
+    summary: Optional[Dict[str, float]] = None
+    error: Optional[str] = None
+    seconds: float = 0.0
+    attempts: int = 1
+
+
+def _seedless(overrides: Dict) -> tuple:
+    return tuple(
+        sorted((k, v) for k, v in overrides.items() if k != "train.seed")
+    )
+
+
+def run_sweep(
+    base: Experiment,
+    grid: Sequence[Dict[str, Any]],
+    retries: int = 1,
+    out_path: Optional[str] = None,
+    group_seeds: bool = True,
+    epochs: Optional[int] = None,
+) -> List[SweepResult]:
+    """Run every configuration; returns one SweepResult per grid entry.
+
+    Seed-only groups run as a single vmapped ensemble when the optimizer is
+    pure Adam (L-BFGS epochs fall back to per-member runs).
+    """
+    from pinns_tpu.parallel.ensemble import (
+        evaluate_ensemble,
+        init_ensemble_states,
+        make_ensemble_chunk,
+    )
+    from pinns_tpu.train import Trainer
+
+    results: List[SweepResult] = []
+    sink = open(out_path, "a") if out_path else None
+
+    def emit(res: SweepResult):
+        results.append(res)
+        if sink:
+            sink.write(json.dumps(dataclasses.asdict(res)) + "\n")
+            sink.flush()
+
+    # group seed-only variants
+    groups: Dict[tuple, List[Dict]] = {}
+    for overrides in grid:
+        groups.setdefault(_seedless(overrides), []).append(overrides)
+
+    for _, members in groups.items():
+        exp0 = override(base, members[0])
+        n_epochs = epochs if epochs is not None else exp0.train.epochs
+        use_ensemble = (
+            group_seeds
+            and len(members) > 1
+            and exp0.optimizer.kind == "adam"
+            and all("train.seed" in m for m in members)
+        )
+        if use_ensemble:
+            t0 = time.time()
+            try:
+                trainer = Trainer(exp0)
+                seeds = [m["train.seed"] for m in members]
+                stacked = init_ensemble_states(trainer, seeds)
+                chunk = min(exp0.train.chunk, n_epochs)
+                run = make_ensemble_chunk(trainer, chunk)
+                done = 0
+                while done < n_epochs:
+                    stacked, _ = run(stacked)
+                    done += chunk
+                summaries = evaluate_ensemble(trainer, stacked, len(seeds))
+                dt = time.time() - t0
+                for m, s in zip(members, summaries):
+                    emit(SweepResult(m, "ok", s, seconds=dt / len(seeds)))
+            except Exception:  # noqa: BLE001 — farm keeps going on any failure
+                err = traceback.format_exc(limit=5)
+                for m in members:
+                    emit(SweepResult(m, "failed", error=err))
+            continue
+
+        for m in members:
+            last_err = None
+            for attempt in range(1, retries + 2):
+                t0 = time.time()
+                try:
+                    trainer = Trainer(override(base, m))
+                    _, summary = trainer.train(epochs=n_epochs)
+                    emit(
+                        SweepResult(
+                            m, "ok", summary,
+                            seconds=time.time() - t0, attempts=attempt,
+                        )
+                    )
+                    break
+                except Exception:  # noqa: BLE001
+                    last_err = traceback.format_exc(limit=5)
+            else:
+                emit(SweepResult(m, "failed", error=last_err, attempts=retries + 1))
+
+    if sink:
+        sink.close()
+    return results

@@ -1,0 +1,566 @@
+"""The training core: one fused XLA program per step, scanned into chunks.
+
+Contrast with the reference hot loop (``Abgrall_ADMM.py:200-252``), which per
+epoch runs >=4 host->device round-trips (Adam op, z update, gamma update, loss
+fetch — each re-evaluating the residual graph) plus host-side numpy resampling
+through feed_dict. Here ONE jitted step does
+  sample -> forward+residual (Taylor-mode) -> grads -> optimizer update ->
+  ADMM z/dual updates -> metrics
+and ``lax.scan`` fuses `train.chunk` steps into a single device call, so the
+host touches the device a few times per thousand epochs.
+
+The hybrid schedule (Adam for epoch <= switch, then L-BFGS per outer epoch,
+``Abgrall_ADMM.py:210-217``) compiles as two programs; the L-BFGS phase runs
+the full inner solve on device (``pinns_tpu.opt.lbfgs``).
+
+ADMM/resampling semantics follow the reference: the weight update uses the
+CURRENT collocation batch, points are then resampled, and the z/dual updates
+evaluate residuals at the NEW points (``Abgrall_ADMM.py:220-226``) — see
+``pinns_tpu.losses.admm`` for discussion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pinns_tpu.config import Experiment
+from pinns_tpu.data.datasets import (
+    GridDataset,
+    build_ic_bc_training_set,
+    interior_training_set,
+    load_burgers_mat,
+    load_euler_mat,
+)
+from pinns_tpu.data.sampling import (
+    latin_hypercube,
+    scale_to_bounds,
+    uniform_box,
+)
+from pinns_tpu.losses.admm import (
+    ADMMState,
+    admm_init,
+    admm_misfit,
+    admm_penalty,
+    admm_update,
+)
+from pinns_tpu.losses.misfit import data_misfit, residual_penalty
+from pinns_tpu.models.mlp import MLPSpec, init_mlp, mlp_apply
+from pinns_tpu.opt.lbfgs import lbfgs_minimize
+from pinns_tpu.ops.residuals import burgers_residual, euler_residuals
+from pinns_tpu.train import checkpoint as ckpt_io
+from pinns_tpu.train.evaluate import predict_fields, relative_l2
+from pinns_tpu.train.metrics import MetricsLogger
+
+EULER_FIELDS = ("rho", "u", "E")
+
+
+class TrainState(NamedTuple):
+    params: Any  # {'net': [...], 'coeffs': {'lambda1','lambda2'}}
+    opt_state: Any
+    admm: Optional[ADMMState]
+    colloc: jnp.ndarray
+    key: jax.Array
+    epoch: jnp.ndarray  # int32 scalar
+
+
+@dataclasses.dataclass
+class Problem:
+    """An Experiment bound to its dataset and device-resident training data."""
+
+    exp: Experiment
+    dataset: GridDataset
+    spec: MLPSpec
+    x_data: jnp.ndarray  # (N_u, 2)
+    targets: Dict[str, jnp.ndarray]  # field -> (N_u, 1)
+    # When set (pinns_tpu.parallel.sharding), on-device resampling is
+    # constrained to generate the collocation batch directly in its
+    # data-parallel layout — no gather, no host round-trip.
+    colloc_sharding: Any = None
+
+    @property
+    def lb(self):
+        return self.dataset.lb
+
+    @property
+    def ub(self):
+        return self.dataset.ub
+
+    def effective_coeffs(self, params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(lambda1, lambda2) with the freeze / transform policy applied."""
+        coeffs = params["coeffs"]
+        if not self.exp.pde.train_coeffs:
+            coeffs = jax.lax.stop_gradient(coeffs)
+        lam1 = coeffs["lambda1"]
+        lam2 = coeffs["lambda2"]
+        if self.exp.pde.lambda2_transform == "exp":
+            lam2 = jnp.exp(lam2)
+        return lam1, lam2
+
+    def residuals(self, params, colloc):
+        """PDE residual(s) at collocation points: array (Burgers) or tuple."""
+        if self.exp.pde.kind == "burgers":
+            lam1, lam2 = self.effective_coeffs(params)
+            _, f = burgers_residual(self.spec, params["net"], colloc, lam1, lam2)
+            return f
+        _, residuals = euler_residuals(
+            self.spec, params["net"], colloc, self.exp.pde.gamma
+        )
+        return residuals
+
+    def residuals_chunked(self, params, colloc):
+        """Residuals over the full batch, evaluated microbatch-by-microbatch
+        (lax.map) so peak activation memory is n_f/microbatch — used by the
+        ADMM updates at large n_f."""
+        m = self.exp.sampling.microbatch
+        if m <= 1:
+            return self.residuals(params, colloc)
+        n = colloc.shape[0]
+        chunks = colloc.reshape(m, n // m, colloc.shape[1])
+        out = jax.lax.map(lambda ch: self.residuals(params, ch), chunks)
+        return jax.tree_util.tree_map(
+            lambda f: f.reshape(n, *f.shape[2:]), out
+        )
+
+
+def build_problem(exp: Experiment) -> Problem:
+    """Load the dataset and construct the supervised training set."""
+    if exp.pde.kind == "euler":
+        ds = load_euler_mat(exp.data.dataset)
+    else:
+        ds = load_burgers_mat(exp.data.dataset)
+
+    if exp.data.selection == "interior":
+        x_data, targets = interior_training_set(
+            ds, exp.data.n_u, seed=exp.data.seed, noise=exp.data.noise
+        )
+    else:
+        x_data, targets = build_ic_bc_training_set(
+            ds, exp.data.n_u, seed=exp.data.seed, noise=exp.data.noise
+        )
+
+    dtype = jnp.dtype(exp.model.dtype)
+    spec = MLPSpec(
+        layers=exp.model.layers,
+        lb=tuple(float(v) for v in ds.lb),
+        ub=tuple(float(v) for v in ds.ub),
+        dtype=dtype,
+        precision=exp.model.precision,
+    )
+    return Problem(
+        exp=exp,
+        dataset=ds,
+        spec=spec,
+        x_data=jnp.asarray(x_data, dtype),
+        targets={k: jnp.asarray(v, dtype) for k, v in targets.items()},
+    )
+
+
+def init_collocation(problem: Problem, key: jax.Array) -> jnp.ndarray:
+    """Initial collocation set per the configured strategy."""
+    exp = problem.exp
+    n_f, strategy = exp.sampling.n_f, exp.sampling.strategy
+    if strategy in ("resample_uniform", "fixed_uniform"):
+        return uniform_box(key, n_f, problem.lb, problem.ub, problem.spec.dtype)
+    if strategy == "fixed_lhs":
+        unit = latin_hypercube(key, n_f, 2, problem.spec.dtype)
+        return scale_to_bounds(unit, problem.lb, problem.ub)
+    if strategy == "fixed_lhs_anchored":
+        unit = latin_hypercube(key, n_f, 2, problem.spec.dtype)
+        pts = scale_to_bounds(unit, problem.lb, problem.ub)
+        return jnp.concatenate([pts, problem.x_data], axis=0)
+    raise ValueError(f"unknown sampling strategy: {strategy!r}")
+
+
+def _residual_term(problem: Problem, params, colloc, admm_state):
+    """Residual loss term, optionally accumulated over rematerialized
+    microbatches so activation memory stays at n_f/microbatch scale."""
+    exp = problem.exp
+    cfg = exp.loss
+    n_f = exp.sampling.n_f
+    m = exp.sampling.microbatch
+
+    if m <= 1:
+        residuals = problem.residuals(params, colloc)
+        if cfg.residual_kind == "admm":
+            return admm_penalty(residuals, admm_state, cfg.rho, cfg.explicit_inner)
+        if isinstance(residuals, tuple):
+            return sum(
+                residual_penalty(f, cfg.residual_kind, n_f) for f in residuals
+            )
+        return residual_penalty(residuals, cfg.residual_kind, n_f)
+
+    n = colloc.shape[0]
+    if n % m:
+        raise ValueError(f"collocation count {n} not divisible by microbatch {m}")
+    chunks = colloc.reshape(m, n // m, colloc.shape[1])
+    dtype = problem.spec.dtype
+
+    if cfg.residual_kind == "admm":
+        # the augmented-Lagrangian penalty is additive over points
+        st_chunks = jax.tree_util.tree_map(
+            lambda a: a.reshape(m, n // m, *a.shape[1:]), admm_state
+        )
+
+        def body(acc, xs):
+            ch, st = xs
+            f = problem.residuals(params, ch)
+            return acc + admm_penalty(f, st, cfg.rho, cfg.explicit_inner), None
+
+        term, _ = jax.lax.scan(
+            jax.checkpoint(body), jnp.zeros((), dtype), (chunks, st_chunks)
+        )
+        return term
+
+    # accumulate the primitive sums (sum f^2, sum |f|) per residual component;
+    # norms that are nonlinear in the batch (l1_sq) assemble afterwards
+    n_comp = 3 if exp.pde.kind == "euler" else 1
+    zero = jnp.zeros((), dtype)
+    init = tuple((zero, zero) for _ in range(n_comp))
+
+    def body(acc, ch):
+        f = problem.residuals(params, ch)
+        fs = f if isinstance(f, tuple) else (f,)
+        new = tuple(
+            (a0 + jnp.sum(fi * fi), a1 + jnp.sum(jnp.abs(fi)))
+            for (a0, a1), fi in zip(acc, fs)
+        )
+        return new, None
+
+    accs, _ = jax.lax.scan(jax.checkpoint(body), init, chunks)
+    term = jnp.zeros((), dtype)
+    for ssq, sabs in accs:
+        if cfg.residual_kind == "mean_sq":
+            term = term + ssq / n
+        elif cfg.residual_kind == "l2_sq_norm":
+            term = term + ssq / n_f
+        elif cfg.residual_kind == "l1_sq_norm":
+            term = term + sabs * sabs / n_f
+        else:
+            raise ValueError(f"unknown residual kind {cfg.residual_kind!r}")
+    return term
+
+
+def make_loss_fn(problem: Problem):
+    """loss(params, colloc, admm) -> (scalar, aux-metrics dict)."""
+    exp = problem.exp
+    spec = problem.spec
+    n_u = exp.data.n_u
+    loss_cfg = exp.loss
+
+    def loss_fn(params, colloc, admm_state):
+        if exp.pde.kind == "burgers":
+            lam1, lam2 = problem.effective_coeffs(params)
+            u_pred = mlp_apply(spec, params["net"], problem.x_data)
+            data_term = data_misfit(
+                u_pred, problem.targets["u"], loss_cfg.data_kind, n_u
+            )
+        else:
+            lam1 = jnp.zeros((1,), spec.dtype)
+            lam2 = jnp.zeros((1,), spec.dtype)
+            y = mlp_apply(spec, params["net"], problem.x_data)
+            data_term = sum(
+                data_misfit(
+                    y[:, i : i + 1],
+                    problem.targets[name],
+                    loss_cfg.data_kind,
+                    n_u,
+                )
+                for i, name in enumerate(EULER_FIELDS)
+            )
+
+        res_term = _residual_term(problem, params, colloc, admm_state)
+        loss = data_term + res_term
+        aux = {
+            "loss": loss,
+            "data_term": data_term,
+            "res_term": res_term,
+            "lambda1": jnp.reshape(lam1, ()),
+            "lambda2": jnp.reshape(lam2, ()),
+        }
+        return loss, aux
+
+    return loss_fn
+
+
+def _post_update(problem: Problem, params, admm_state, colloc, key):
+    """Shared tail of every step: resample, then ADMM updates at new points."""
+    exp = problem.exp
+    if exp.sampling.strategy == "resample_uniform":
+        key, sub = jax.random.split(key)
+        colloc = uniform_box(
+            sub, exp.sampling.n_f, problem.lb, problem.ub, problem.spec.dtype
+        )
+        if problem.colloc_sharding is not None:
+            colloc = jax.lax.with_sharding_constraint(
+                colloc, problem.colloc_sharding
+            )
+    mis = jnp.zeros((), problem.spec.dtype)
+    if exp.loss.residual_kind == "admm":
+        f_new = problem.residuals_chunked(params, colloc)
+        admm_state = admm_update(
+            f_new, admm_state, exp.loss.rho, exp.sampling.n_f
+        )
+        mis = admm_misfit(f_new, admm_state)
+    return admm_state, colloc, key, mis
+
+
+def make_adam_step(problem: Problem, optimizer):
+    """One fused Adam epoch: grad step -> resample -> ADMM updates."""
+    loss_fn = make_loss_fn(problem)
+
+    def step(state: TrainState):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.colloc, state.admm
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        admm_state, colloc, key, mis = _post_update(
+            problem, params, state.admm, state.colloc, state.key
+        )
+        metrics = dict(aux, admm_misfit=mis, lbfgs_iters=jnp.zeros((), jnp.int32))
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                admm=admm_state,
+                colloc=colloc,
+                key=key,
+                epoch=state.epoch + 1,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_lbfgs_step(problem: Problem):
+    """One outer epoch of the L-BFGS phase: full inner solve on device,
+    then the same resample/ADMM tail. Mirrors ``Abgrall_ADMM.py:216-226``."""
+    loss_fn = make_loss_fn(problem)
+    cfg = problem.exp.optimizer.lbfgs
+
+    def step(state: TrainState):
+        from jax.flatten_util import ravel_pytree
+
+        x0, unravel = ravel_pytree(state.params)
+        res = lbfgs_minimize(
+            lambda x: loss_fn(unravel(x), state.colloc, state.admm)[0],
+            x0,
+            max_iters=cfg.max_iters,
+            history=cfg.history,
+            ftol=cfg.ftol,
+            gtol=cfg.gtol,
+            max_ls=cfg.max_ls,
+        )
+        params = unravel(res.x)
+        _, aux = loss_fn(params, state.colloc, state.admm)
+        admm_state, colloc, key, mis = _post_update(
+            problem, params, state.admm, state.colloc, state.key
+        )
+        metrics = dict(aux, admm_misfit=mis, lbfgs_iters=res.n_iters)
+        return (
+            TrainState(
+                params=params,
+                opt_state=state.opt_state,
+                admm=admm_state,
+                colloc=colloc,
+                key=key,
+                epoch=state.epoch + 1,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_chunked(step_fn, chunk: int):
+    """scan `chunk` steps into one device call; returns (state, stacked metrics)."""
+
+    def chunk_fn(state, _):
+        return step_fn(state)
+
+    def run(state):
+        return jax.lax.scan(chunk_fn, state, None, length=chunk)
+
+    return jax.jit(run)
+
+
+class Trainer:
+    """End-to-end training orchestrator (host side).
+
+    Responsibilities the reference spreads across ``train`` / ``run_NN`` /
+    ``record_data`` / ``save_data`` (``Abgrall_ADMM.py:200-252, 311-319,
+    400-409``): chunked stepping, metric logging, prediction snapshots,
+    checkpoints, final rel-L2 evaluation.
+    """
+
+    def __init__(self, exp: Experiment, problem: Optional[Problem] = None):
+        self.exp = exp
+        self.problem = problem if problem is not None else build_problem(exp)
+        self.optimizer = optax.adam(exp.optimizer.learning_rate)
+        self._adam_step = make_adam_step(self.problem, self.optimizer)
+        self._lbfgs_step = make_lbfgs_step(self.problem)
+        self._chunks: Dict[Tuple[str, int], Any] = {}
+        self.logger = MetricsLogger(
+            out_dir=exp.train.out_dir or None, name=exp.name
+        )
+        self._predict = jax.jit(
+            lambda params, x: predict_fields(self.problem, params, x)
+        )
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        exp = self.exp
+        key = jax.random.key(exp.train.seed if seed is None else seed)
+        k_net, k_colloc, k_run = jax.random.split(key, 3)
+        dtype = self.problem.spec.dtype
+        params = {
+            "net": init_mlp(k_net, self.problem.spec),
+            "coeffs": {
+                "lambda1": jnp.full((1,), exp.pde.lambda1, dtype),
+                "lambda2": jnp.full((1,), exp.pde.lambda2, dtype),
+            },
+        }
+        colloc = init_collocation(self.problem, k_colloc)
+        admm_state = None
+        if exp.loss.residual_kind == "admm":
+            # z = r(w_0) at the initial collocation set, dual = 1
+            # (Abgrall_ADMM.py:92-97)
+            f0 = self.problem.residuals_chunked(params, colloc)
+            admm_state = admm_init(f0)
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            admm=admm_state,
+            colloc=colloc,
+            key=k_run,
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    # -- stepping ---------------------------------------------------------
+    def _phase(self, epoch: int) -> str:
+        opt = self.exp.optimizer
+        if opt.kind == "adam":
+            return "adam"
+        if opt.kind == "lbfgs":
+            return "lbfgs"
+        return "adam" if epoch < opt.switch_epoch else "lbfgs"
+
+    def _get_chunk(self, phase: str, length: int):
+        key = (phase, length)
+        if key not in self._chunks:
+            step = self._adam_step if phase == "adam" else self._lbfgs_step
+            self._chunks[key] = make_chunked(step, length)
+        return self._chunks[key]
+
+    def train(
+        self, state: Optional[TrainState] = None, epochs: Optional[int] = None
+    ):
+        """Run the configured schedule; returns (state, summary dict)."""
+        exp = self.exp
+        if state is None:
+            state = self.init_state()
+        total = exp.train.epochs if epochs is None else epochs
+        chunk = max(1, min(exp.train.chunk, total))
+        # L-BFGS outer epochs are whole inner solves; keep device calls short
+        lbfgs_chunk = max(1, min(chunk // 100 or 1, 10))
+
+        t0 = time.time()
+        start_epoch = int(state.epoch)
+        epoch = start_epoch
+        while epoch < total:
+            phase = self._phase(epoch)
+            length = chunk if phase == "adam" else lbfgs_chunk
+            length = min(length, total - epoch)
+            if phase == "adam" and self.exp.optimizer.kind == "hybrid":
+                length = min(length, self.exp.optimizer.switch_epoch - epoch)
+            run = self._get_chunk(phase, length)
+            state, metrics = run(state)
+            epoch += length
+            self._log_chunk(epoch, phase, metrics, time.time() - t0)
+            t0 = time.time()
+            self._maybe_snapshot(epoch, state)
+            self._maybe_checkpoint(epoch, state)
+
+        summary = self.evaluate(state)
+        summary["epochs"] = epoch
+        self.logger.write_summary(summary)
+        if exp.train.out_dir:
+            self.save_checkpoint(state, tag="final")
+        return state, summary
+
+    # -- reporting --------------------------------------------------------
+    def _log_chunk(self, epoch, phase, metrics, elapsed):
+        last = {k: np.asarray(v)[-1] for k, v in metrics.items()}
+        self.logger.log(
+            epoch=epoch,
+            phase=phase,
+            elapsed=elapsed,
+            **{k: float(v) for k, v in last.items()},
+        )
+
+    def _maybe_snapshot(self, epoch, state):
+        every = self.exp.train.snapshot_every
+        if every and self.exp.train.out_dir and epoch % every == 0:
+            self.record_snapshot(state, epoch)
+
+    def _maybe_checkpoint(self, epoch, state):
+        every = self.exp.train.checkpoint_every
+        if every and self.exp.train.out_dir and epoch % every == 0:
+            self.save_checkpoint(state, tag=f"e{epoch}")
+
+    def predict(self, params, x) -> Dict[str, np.ndarray]:
+        out = self._predict(params, jnp.asarray(x, self.problem.spec.dtype))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def evaluate(self, state: TrainState) -> Dict[str, float]:
+        """Relative L2 error per field over the full exact grid
+        (``Abgrall_ADMM.py:318-319``, ``Euler_ADMM.py:342-347``)."""
+        ds = self.problem.dataset
+        preds = self.predict(state.params, ds.X_star)
+        out = {}
+        for name in ds.field_names:
+            out[f"rel_l2_{name}"] = relative_l2(preds[name], ds.star[name])
+        lam1, lam2 = self.problem.effective_coeffs(state.params)
+        out["lambda1"] = float(np.asarray(lam1)[0])
+        out["lambda2"] = float(np.asarray(lam2)[0])
+        return out
+
+    def record_snapshot(self, state: TrainState, epoch: int):
+        """Append a full-grid prediction snapshot to <out>/<name>_snapshots.csv
+        — the reference's crash-resilient convergence stream
+        (``record_data``/``save_data``, ``Abgrall_ADMM.py:400-409``), same
+        schema (x, t, <field>_pred..., epoch) so the viz layer can animate it.
+        """
+        ds = self.problem.dataset
+        preds = self.predict(state.params, ds.X_star)
+        cols = {"x": ds.X_star[:, 0], "t": ds.X_star[:, 1]}
+        for name in ds.field_names:
+            cols[f"{name}_pred"] = preds[name][:, 0]
+        cols["epoch"] = np.full(ds.X_star.shape[0], epoch)
+        self.logger.append_snapshot(cols)
+
+    # -- checkpointing ----------------------------------------------------
+    def save_checkpoint(self, state: TrainState, tag: str = "final") -> str:
+        out_dir = self.exp.train.out_dir or "."
+        path = os.path.join(out_dir, f"{self.exp.name}_{tag}.ckpt")
+        ckpt_io.save_checkpoint(path, state, meta={
+            "experiment": self.exp.name,
+            "epoch": int(state.epoch),
+        })
+        return path
+
+    def load_checkpoint(self, path: str) -> TrainState:
+        template = self.init_state()
+        return ckpt_io.load_checkpoint(path, template)

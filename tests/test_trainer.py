@@ -1,0 +1,181 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import PRESETS, get_preset
+from pinns_tpu.train import Trainer
+
+HAVE_REF = os.path.isdir("/root/reference")
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+
+
+def _small(preset, **updates):
+    exp = get_preset(preset)
+    base = {
+        "train.epochs": 300,
+        "train.chunk": 100,
+        "sampling.n_f": 256,
+    }
+    base.update(updates)
+    return override(exp, base)
+
+
+def test_preset_registry():
+    assert len(PRESETS) >= 11
+    with pytest.raises(KeyError):
+        get_preset("nope")
+
+
+def test_burgers_l2_short_training_decreases_loss():
+    tr = Trainer(_small("abgrall_l2", **{"model.layers": (2, 16, 16, 1)}))
+    state = tr.init_state()
+    state, summary = tr.train(state)
+    assert summary["epochs"] == 300
+    assert np.isfinite(summary["rel_l2_u"])
+    assert summary["rel_l2_u"] < 1.5  # sane, finite output
+
+
+def test_burgers_admm_short_training():
+    tr = Trainer(_small("abgrall_admm", **{"model.layers": (2, 16, 16, 1)}))
+    state = tr.init_state()
+    assert state.admm is not None
+    state, summary = tr.train(state)
+    # ADMM state advanced and stayed finite
+    assert np.all(np.isfinite(np.asarray(state.admm.z)))
+    assert summary["rel_l2_u"] < 1.5
+
+
+def test_euler_admm_short_training():
+    exp = _small("euler_admm", **{"model.layers": (2, 24, 24, 3)})
+    tr = Trainer(exp)
+    state = tr.init_state()
+    assert isinstance(state.admm.z, tuple) and len(state.admm.z) == 3
+    state, summary = tr.train(state)
+    for f in ("rho", "u", "E"):
+        assert np.isfinite(summary[f"rel_l2_{f}"])
+
+
+def test_hybrid_switch_runs_lbfgs_phase():
+    exp = _small(
+        "abgrall_admm",
+        **{
+            "model.layers": (2, 12, 12, 1),
+            "train.epochs": 12,
+            "train.chunk": 10,
+            "optimizer.switch_epoch": 10,
+            "optimizer.lbfgs.max_iters": 20,
+        },
+    )
+    tr = Trainer(exp)
+    state, summary = tr.train()
+    assert int(state.epoch) == 12
+    assert summary["epochs"] == 12
+
+
+def test_loss_decreases_over_training():
+    exp = _small(
+        "burgers_forward",
+        **{
+            "model.layers": (2, 20, 20, 20, 1),
+            "train.epochs": 1500,
+            "train.chunk": 500,
+            "optimizer.kind": "adam",
+            "sampling.n_f": 1024,
+            "sampling.strategy": "resample_uniform",
+        },
+    )
+    tr = Trainer(exp)
+    state = tr.init_state()
+    first = None
+    last = None
+    for _ in range(3):
+        run = tr._get_chunk("adam", 500)
+        state, metrics = run(state)
+        if first is None:
+            first = float(np.asarray(metrics["loss"])[0])
+        last = float(np.asarray(metrics["loss"])[-1])
+    assert last < first * 0.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    exp = _small(
+        "abgrall_admm",
+        **{
+            "model.layers": (2, 12, 12, 1),
+            "train.epochs": 50,
+            "train.chunk": 25,
+            "train.out_dir": str(tmp_path),
+        },
+    )
+    tr = Trainer(exp)
+    state, _ = tr.train()
+    path = tr.save_checkpoint(state, tag="test")
+    restored = tr.load_checkpoint(path)
+    assert int(restored.epoch) == int(state.epoch)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["net"][0]["W"]),
+        np.asarray(state.params["net"][0]["W"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.admm.z), np.asarray(state.admm.z)
+    )
+    # resume continues from the restored epoch
+    state2, summary = tr.train(restored, epochs=60)
+    assert summary["epochs"] == 60
+
+
+def test_snapshot_stream(tmp_path):
+    exp = _small(
+        "abgrall_l2",
+        **{
+            "model.layers": (2, 8, 8, 1),
+            "train.epochs": 20,
+            "train.chunk": 10,
+            "train.out_dir": str(tmp_path),
+            "train.snapshot_every": 10,
+        },
+    )
+    tr = Trainer(exp)
+    tr.train()
+    snap = tmp_path / "abgrall_l2_snapshots.csv"
+    assert snap.exists()
+    import csv
+
+    with open(snap) as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["x", "t", "u_pred", "epoch"]
+    n_grid = tr.problem.dataset.n_points
+    assert len(rows) == 1 + 2 * n_grid  # two snapshot epochs
+
+
+def test_inverse_coeffs_are_trainable():
+    exp = _small(
+        "burgers_inverse",
+        **{
+            "model.layers": (2, 16, 16, 1),
+            "train.epochs": 200,
+            "train.chunk": 100,
+            "optimizer.kind": "adam",
+            "sampling.n_f": 512,
+            "data.n_u": 200,
+        },
+    )
+    tr = Trainer(exp)
+    state = tr.init_state()
+    lam1_0 = float(state.params["coeffs"]["lambda1"][0])
+    state, summary = tr.train(state)
+    lam1_1 = float(state.params["coeffs"]["lambda1"][0])
+    assert lam1_0 != lam1_1  # coefficients moved
+    # exp transform keeps lambda2 positive
+    assert summary["lambda2"] > 0
+
+
+def test_frozen_coeffs_stay_fixed():
+    exp = _small("abgrall_admm", **{"model.layers": (2, 8, 8, 1), "train.epochs": 50, "train.chunk": 50})
+    tr = Trainer(exp)
+    state, summary = tr.train()
+    assert summary["lambda1"] == 1.0
+    assert summary["lambda2"] == 0.0
