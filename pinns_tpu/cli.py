@@ -1,0 +1,264 @@
+"""Command-line interface: train / sweep / eval / bench / plot / animate.
+
+Replaces the reference's per-script positional-argv entry points
+(``Abgrall_ADMM.py:412-421``: ``./Abgrall_ADMM.py N_u N_f rho epochs gpu``)
+and the MPI scheduler launch with one typed CLI over the preset registry:
+
+  python -m pinns_tpu train --preset abgrall_admm --set sampling.n_f=4000
+  python -m pinns_tpu sweep --preset abgrall_admm \
+      --grid data.n_u=100,200,400 --grid sampling.n_f=100,200,500,1000
+  python -m pinns_tpu plot --preset abgrall_admm --checkpoint out/run.ckpt
+  python -m pinns_tpu animate --preset abgrall_admm --snapshots out/..._snapshots.csv
+
+The GPU-pinning knob (``Parameters.gpu``) has no TPU analog — device placement
+is the mesh's job (--mesh-data shards the collocation axis over devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import sys
+
+
+def _parse_value(text: str):
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        return text
+
+
+def _parse_sets(pairs):
+    out = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise SystemExit(f"--set expects key=value, got {pair!r}")
+        key, value = pair.split("=", 1)
+        out[key] = _parse_value(value)
+    return out
+
+
+def _build_exp(args):
+    from pinns_tpu.config import override
+    from pinns_tpu.experiments import get_preset
+
+    exp = get_preset(args.preset)
+    updates = _parse_sets(args.set)
+    if getattr(args, "epochs", None) is not None:
+        updates["train.epochs"] = args.epochs
+    if getattr(args, "out_dir", None):
+        updates["train.out_dir"] = args.out_dir
+    return override(exp, updates)
+
+
+def cmd_presets(_args):
+    from pinns_tpu.experiments import PRESETS
+
+    for name, exp in PRESETS.items():
+        print(
+            f"{name:20s} pde={exp.pde.kind:8s} loss={exp.loss.residual_kind:10s}"
+            f" layers={len(exp.model.layers) - 2}x{exp.model.layers[1]}"
+            f" n_u={exp.data.n_u} n_f={exp.sampling.n_f}"
+            f" opt={exp.optimizer.kind} dataset={exp.data.dataset}"
+        )
+    return 0
+
+
+def cmd_train(args):
+    from pinns_tpu.train import Trainer
+
+    exp = _build_exp(args)
+    trainer = Trainer(exp)
+    state = None
+    if args.mesh_data > 1 or args.ensemble > 1:
+        from pinns_tpu.parallel.mesh import make_mesh
+        from pinns_tpu.parallel.sharding import place_state, shard_trainer
+
+        mesh = make_mesh(data=args.mesh_data, ensemble=1)
+        shard_trainer(trainer, mesh)
+        state = place_state(trainer.init_state(), mesh)
+    if args.resume:
+        state = trainer.load_checkpoint(args.resume)
+    state, summary = trainer.train(state)
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_sweep(args):
+    from pinns_tpu.parallel.sweep import cartesian_grid, run_sweep
+
+    exp = _build_exp(args)
+    lists = {}
+    for spec in args.grid:
+        key, values = spec.split("=", 1)
+        lists[key] = [_parse_value(v) for v in values.split(",")]
+    grid = cartesian_grid(lists)
+    results = run_sweep(
+        exp, grid, retries=args.retries, out_path=args.out, epochs=args.epochs
+    )
+    ok = sum(1 for r in results if r.status == "ok")
+    print(f"{ok}/{len(results)} configurations succeeded")
+    for r in results:
+        line = {"overrides": r.overrides, "status": r.status}
+        if r.summary:
+            line.update({k: v for k, v in r.summary.items() if k.startswith("rel_l2")})
+        print(json.dumps(line))
+    return 0 if ok == len(results) else 1
+
+
+def cmd_eval(args):
+    from pinns_tpu.train import Trainer
+
+    exp = _build_exp(args)
+    trainer = Trainer(exp)
+    state = trainer.load_checkpoint(args.checkpoint)
+    print(json.dumps(trainer.evaluate(state)))
+    return 0
+
+
+def cmd_plot(args):
+    from pinns_tpu.train import Trainer
+    from pinns_tpu.viz.plots import plot_from_snapshots, plot_solution
+
+    exp = _build_exp(args)
+    trainer = Trainer(exp)
+    if args.snapshots:
+        path = plot_from_snapshots(
+            trainer.problem.dataset, args.snapshots, epoch=args.epoch,
+            out_path=args.out,
+        )
+    else:
+        state = trainer.load_checkpoint(args.checkpoint)
+        preds = trainer.predict(state.params, trainer.problem.dataset.X_star)
+        path = plot_solution(
+            trainer.problem.dataset,
+            preds,
+            x_data=trainer.problem.x_data,
+            out_path=args.out,
+        )
+    print(path)
+    return 0
+
+
+def cmd_animate(args):
+    from pinns_tpu.train import build_problem
+    from pinns_tpu.viz.animate import animate_snapshots
+
+    exp = _build_exp(args)
+    problem = build_problem(exp)
+    path = animate_snapshots(
+        problem.dataset, args.snapshots, field=args.field, out_path=args.out,
+        fps=args.fps,
+    )
+    print(path)
+    return 0
+
+
+def cmd_generate_data(args):
+    # Data generation is tiny CPU work; don't burn (or wait on) an accelerator.
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized; run wherever we are
+
+    from pinns_tpu.data import generators as g
+
+    if args.kind == "burgers_shock":
+        data = g.make_burgers_shock_grid(nx=args.nx, nt=args.nt, nu=args.nu)
+    elif args.kind == "burgers_twosin":
+        data = g.burgers_fv(
+            g.two_sin_ic, nx=args.nx, nt=args.nt, t_final=args.t_final,
+            nu=args.nu,
+        )
+    elif args.kind == "euler":
+        data = g.euler_solve(nx=args.nx, n_snapshots=args.nt, t_final=args.t_final)
+    else:
+        raise SystemExit(f"unknown kind {args.kind!r}")
+    print(g.save_mat(args.out, data))
+    return 0
+
+
+def cmd_bench(_args):
+    import runpy
+
+    runpy.run_module("bench", run_name="__main__")
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="pinns_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add_common(p):
+        p.add_argument("--preset", required=True)
+        p.add_argument(
+            "--set", action="append", metavar="KEY=VALUE",
+            help="dotted config override, e.g. sampling.n_f=4000",
+        )
+        p.add_argument("--epochs", type=int, default=None)
+        p.add_argument("--out-dir", default=None)
+
+    p = sub.add_parser("presets", help="list available experiment presets")
+    p.set_defaults(fn=cmd_presets)
+
+    p = sub.add_parser("train", help="train a preset")
+    add_common(p)
+    p.add_argument("--resume", default=None, help="checkpoint to resume from")
+    p.add_argument("--mesh-data", type=int, default=1,
+                   help="shard the collocation axis over this many devices")
+    p.add_argument("--ensemble", type=int, default=1)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("sweep", help="hyperparameter sweep")
+    add_common(p)
+    p.add_argument("--grid", action="append", required=True,
+                   metavar="KEY=V1,V2,...")
+    p.add_argument("--retries", type=int, default=1)
+    p.add_argument("--out", default=None, help="JSONL results path")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("eval", help="evaluate a checkpoint")
+    add_common(p)
+    p.add_argument("--checkpoint", required=True)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("plot", help="solution/comparison figure")
+    add_common(p)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--snapshots", default=None, help="snapshot CSV stream")
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--out", default="solution.png")
+    p.set_defaults(fn=cmd_plot)
+
+    p = sub.add_parser("animate", help="convergence animation from snapshots")
+    add_common(p)
+    p.add_argument("--snapshots", required=True)
+    p.add_argument("--field", default=None)
+    p.add_argument("--fps", type=int, default=5)
+    p.add_argument("--out", default="convergence.mp4")
+    p.set_defaults(fn=cmd_animate)
+
+    p = sub.add_parser(
+        "generate-data", help="generate ground-truth datasets natively (no MATLAB)"
+    )
+    p.add_argument("--kind", required=True,
+                   choices=["burgers_shock", "burgers_twosin", "euler"])
+    p.add_argument("--out", required=True, help="output .mat path")
+    p.add_argument("--nx", type=int, default=256)
+    p.add_argument("--nt", type=int, default=100)
+    p.add_argument("--nu", type=float, default=0.01 / 3.141592653589793)
+    p.add_argument("--t-final", type=float, default=1.0)
+    p.set_defaults(fn=cmd_generate_data)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

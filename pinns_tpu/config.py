@@ -66,8 +66,11 @@ class LBFGSConfig:
     max_iters: int = 5000  # reference ScipyOptimizerInterface maxiter
     history: int = 50  # maxcor
     max_ls: int = 50  # maxls
-    ftol: float = 1e-7
-    gtol: float = 1e-5
+    # The reference passes ftol=1e-7 to SciPy (Abgrall_ADMM.py:72); in f32 on
+    # device that triggers orders of magnitude before the achievable floor, so
+    # the default here is effectively "run until line search exhausts f32".
+    ftol: float = 1e-12
+    gtol: float = 1e-7
 
 
 @_frozen

@@ -1,0 +1,277 @@
+"""Native ground-truth data generation — the reference's L0 layer without
+MATLAB.
+
+The reference generates its datasets offline with the Hesthaven-Warburton
+nodal discontinuous-Galerkin MATLAB codes (``Eulers/Data/Codes1D``,
+``CFD1D/EulerDriver1D.m``: N=6 polynomials, K=250 elements, SSP-RK3 with
+minmod slope limiting, Lax-Friedrichs fluxes; ``Eulers_data_generator.m``
+subsamples every 5th spatial / 10th temporal point and saves
+``Abgrall_eulers.mat``). The Burgers ``.mat`` files have no in-tree generator.
+
+TPU-native equivalents, all runnable in this package:
+
+- :func:`burgers_cole_hopf` — the viscous Burgers solution by the Cole-Hopf
+  transform evaluated with Gauss-Hermite quadrature (float64, numpy): the
+  closed-form route to the canonical ``burgers_shock`` dataset
+  (IC u(x,0) = -sin(pi x), u(+-1, t) = 0, nu = 0.01/pi). Validated against
+  the stored reference grid in tests.
+- :func:`euler_solve` — a JAX finite-volume solver for the 1D compressible
+  Euler system (MUSCL minmod reconstruction, local Lax-Friedrichs flux,
+  SSP-RK3, fixed CFL time step) under ``lax.scan`` — data generation runs on
+  the TPU too. IC is the reference's mu-blend of the Sod and Lax shock tubes
+  (``EulerDriver1D.m:17-32``, mu = 0.3).
+- :func:`burgers_fv` — same FV machinery for the inviscid/viscous scalar
+  Burgers equation (Godunov flux + central viscosity), for TwoSin-style
+  datasets.
+- :func:`save_mat` / dataset adapters producing the exact {x, t, usol[...]}
+  ``.mat`` schema the loaders consume.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# Cole-Hopf closed form (viscous Burgers, canonical Raissi dataset)
+# --------------------------------------------------------------------------
+def burgers_cole_hopf(
+    x: np.ndarray,
+    t: np.ndarray,
+    nu: float = 0.01 / np.pi,
+    n_quad: int = 128,
+) -> np.ndarray:
+    """u(x, t) solving u_t + u u_x = nu u_xx, u(x,0) = -sin(pi x).
+
+    Cole-Hopf: u = -2 nu (d/dx) log theta with
+    theta(x,t) = int exp(-(x-eta)^2 / (4 nu t) - cos(pi eta)/(2 pi nu)) d eta.
+    Substituting eta = x - sqrt(4 nu t) z gives Gauss-Hermite form; the
+    quotient for u follows by differentiating under the integral:
+      u(x,t) = int sin(pi(x - a z)) w(z) G(z) dz / int w(z) G(z) dz,
+      a = sqrt(4 nu t),  G(z) = exp(-cos(pi (x - a z)) / (2 pi nu)).
+    Returns (Nx, Nt) array (the .mat `usol` layout). float64 throughout.
+    """
+    x = np.asarray(x, np.float64).ravel()
+    t = np.asarray(t, np.float64).ravel()
+    z, w = np.polynomial.hermite.hermgauss(n_quad)
+
+    usol = np.empty((x.size, t.size))
+    for j, tj in enumerate(t):
+        if tj <= 0.0:
+            usol[:, j] = -np.sin(np.pi * x)
+            continue
+        a = np.sqrt(4.0 * nu * tj)
+        eta = x[:, None] - a * z[None, :]  # (Nx, Q)
+        g = np.exp(-np.cos(np.pi * eta) / (2.0 * np.pi * nu))
+        num = np.sum(w[None, :] * np.sin(np.pi * eta) * g, axis=1)
+        den = np.sum(w[None, :] * g, axis=1)
+        usol[:, j] = -num / den
+    return usol
+
+
+def make_burgers_shock_grid(
+    nx: int = 256, nt: int = 100, nu: float = 0.01 / np.pi
+) -> Dict[str, np.ndarray]:
+    """{x, t, usol} with the canonical burgers_shock.mat layout/shapes."""
+    x = np.linspace(-1.0, 1.0, nx).reshape(-1, 1)
+    t = np.linspace(0.0, 0.99, nt).reshape(-1, 1)
+    return {"x": x, "t": t, "usol": burgers_cole_hopf(x, t, nu)}
+
+
+# --------------------------------------------------------------------------
+# JAX finite-volume solvers (TPU-runnable data generation)
+# --------------------------------------------------------------------------
+def _minmod(a, b):
+    s = 0.5 * (jnp.sign(a) + jnp.sign(b))
+    return s * jnp.minimum(jnp.abs(a), jnp.abs(b))
+
+
+def _muscl_faces(q):
+    """Minmod-limited linear reconstruction; returns (left, right) states at
+    the Nx+1 interior+boundary faces with outflow ghost cells. q: (Nx, C)."""
+    qp = jnp.concatenate([q[:1], q, q[-1:]], axis=0)  # ghost cells
+    dq = _minmod(qp[1:-1] - qp[:-2], qp[2:] - qp[1:-1])  # (Nx, C)
+    q_left_face = q + 0.5 * dq  # right edge of each cell
+    q_right_face = q - 0.5 * dq  # left edge of each cell
+    ql = jnp.concatenate([q[:1], q_left_face], axis=0)  # (Nx+1, C)
+    qr = jnp.concatenate([q_right_face, q[-1:]], axis=0)  # (Nx+1, C)
+    return ql, qr
+
+
+def _euler_flux(q, gamma):
+    rho, mom, e = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    u = mom / rho
+    p = (gamma - 1.0) * (e - 0.5 * mom * u)
+    return jnp.concatenate([mom, mom * u + p, u * (e + p)], axis=1)
+
+
+def _euler_max_speed(q, gamma):
+    rho, mom, e = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    u = mom / rho
+    p = (gamma - 1.0) * (e - 0.5 * mom * u)
+    c = jnp.sqrt(jnp.maximum(gamma * p / rho, 1e-12))
+    return jnp.abs(u) + c
+
+
+def euler_ic_sod_lax_blend(x: jnp.ndarray, mu: float = 0.3, gamma: float = 1.4):
+    """The reference's initial condition: a mu-blend of the Sod and Lax shock
+    tubes with the jump at x = 0.5 (``EulerDriver1D.m:17-32``).
+
+    Sod:  (rho, u, p) = (1, 0, 1) | (0.125, 0, 0.1)
+    Lax:  (rho, u, p) = (0.445, 0.698, 3.528) | (0.5, 0, 0.571)
+    Returns conservative state (Nx, 3): [rho, rho u, E].
+    """
+    left_sod = jnp.array([1.0, 0.0, 1.0])
+    right_sod = jnp.array([0.125, 0.0, 0.1])
+    left_lax = jnp.array([0.445, 0.698, 3.528])
+    right_lax = jnp.array([0.5, 0.0, 0.571])
+    left = mu * left_lax + (1.0 - mu) * left_sod
+    right = mu * right_lax + (1.0 - mu) * right_sod
+    prim = jnp.where(x.reshape(-1, 1) < 0.5, left, right)
+    rho, u, p = prim[:, 0:1], prim[:, 1:2], prim[:, 2:3]
+    e = p / (gamma - 1.0) + 0.5 * rho * u * u
+    return jnp.concatenate([rho, rho * u, e], axis=1)
+
+
+def euler_solve(
+    nx: int = 1500,
+    t_final: float = 0.2,
+    gamma: float = 1.4,
+    cfl: float = 0.4,
+    xlim: Tuple[float, float] = (0.0, 1.0),
+    ic: Optional[Callable] = None,
+    n_snapshots: int = 160,
+) -> Dict[str, np.ndarray]:
+    """1D Euler shock-tube solve; returns {x, t, rhosol, usol, Enersol} with
+    (Nx, Nt) field layout, matching ``Abgrall_eulers.mat``'s schema.
+
+    MUSCL(minmod) + local Lax-Friedrichs + SSP-RK3 under lax.scan with a fixed
+    CFL time step estimated from the initial data (the wave speeds of these
+    shock tubes do not grow), rounded so snapshots land on uniform times.
+    """
+    x = jnp.linspace(
+        xlim[0], xlim[1], nx + 1, dtype=jnp.float32
+    )
+    xc = 0.5 * (x[:-1] + x[1:])  # cell centers
+    dx = float((xlim[1] - xlim[0]) / nx)
+    q0 = euler_ic_sod_lax_blend(xc, gamma=gamma) if ic is None else ic(xc)
+
+    smax = float(jnp.max(_euler_max_speed(q0, gamma)))
+    dt = cfl * dx / (smax * 1.5)  # margin for transient wave acceleration
+    steps_per_snap = max(1, int(np.ceil(t_final / (n_snapshots - 1) / dt)))
+    dt = t_final / (n_snapshots - 1) / steps_per_snap
+
+    def rhs(q):
+        ql, qr = _muscl_faces(q)
+        a = jnp.maximum(
+            _euler_max_speed(ql, gamma), _euler_max_speed(qr, gamma)
+        )
+        flux = 0.5 * (
+            _euler_flux(ql, gamma) + _euler_flux(qr, gamma)
+        ) - 0.5 * a * (qr - ql)
+        return -(flux[1:] - flux[:-1]) / dx
+
+    def rk3(q, _):
+        q1 = q + dt * rhs(q)
+        q2 = 0.75 * q + 0.25 * (q1 + dt * rhs(q1))
+        q3 = q / 3.0 + 2.0 / 3.0 * (q2 + dt * rhs(q2))
+        return q3, None
+
+    def snapshot_step(q, _):
+        q, _ = jax.lax.scan(rk3, q, None, length=steps_per_snap)
+        return q, q
+
+    _, traj = jax.lax.scan(snapshot_step, q0, None, length=n_snapshots - 1)
+    traj = jnp.concatenate([q0[None], traj], axis=0)  # (Nt, Nx, 3)
+
+    rho = np.asarray(traj[:, :, 0]).T  # (Nx, Nt)
+    mom = np.asarray(traj[:, :, 1]).T
+    ener = np.asarray(traj[:, :, 2]).T
+    t = np.linspace(0.0, t_final, n_snapshots).reshape(-1, 1)
+    return {
+        "x": np.asarray(xc).reshape(-1, 1),
+        "t": t,
+        "rhosol": rho,
+        "usol": mom / rho,  # velocity, as the reference stores it
+        "Enersol": ener,
+    }
+
+
+def burgers_fv(
+    ic: Callable[[np.ndarray], np.ndarray],
+    nx: int = 512,
+    nt: int = 101,
+    t_final: float = 1.0,
+    nu: float = 0.0,
+    xlim: Tuple[float, float] = (-1.0, 1.0),
+    cfl: float = 0.4,
+) -> Dict[str, np.ndarray]:
+    """Scalar (in)viscid Burgers solve: Godunov flux + central viscous term,
+    SSP-RK3, fixed dt. Returns {x, t, usol:(Nx, Nt)} — the machinery for
+    TwoSin-style datasets (the reference ships TwoSin_burgers_shock.mat with
+    no generator in-tree)."""
+    x = jnp.linspace(xlim[0], xlim[1], nx, dtype=jnp.float32)
+    dx = float(x[1] - x[0])
+    u0 = jnp.asarray(ic(np.asarray(x)), jnp.float32).reshape(-1)
+
+    smax = float(jnp.max(jnp.abs(u0))) + 1e-6
+    dt_adv = cfl * dx / (smax * 1.6)
+    dt = dt_adv
+    if nu > 0:
+        dt = min(dt, 0.4 * dx * dx / (2 * nu))
+    steps_per_snap = max(1, int(np.ceil(t_final / (nt - 1) / dt)))
+    dt = t_final / (nt - 1) / steps_per_snap
+
+    def godunov_flux(ul, ur):
+        # exact Riemann flux for f(u) = u^2/2
+        f = lambda u: 0.5 * u * u
+        shock = jnp.where(0.5 * (ul + ur) > 0, f(ul), f(ur))
+        raref = jnp.where(ul > 0, f(ul), jnp.where(ur < 0, f(ur), 0.0))
+        return jnp.where(ul > ur, shock, raref)
+
+    def rhs(u):
+        up = jnp.concatenate([u[:1], u, u[-1:]])
+        du = _minmod(up[1:-1] - up[:-2], up[2:] - up[1:-1])
+        ul = jnp.concatenate([u[:1], u + 0.5 * du])
+        ur = jnp.concatenate([u - 0.5 * du, u[-1:]])
+        flux = godunov_flux(ul, ur)
+        adv = -(flux[1:] - flux[:-1]) / dx
+        if nu > 0:
+            lap = (up[2:] - 2 * up[1:-1] + up[:-2]) / (dx * dx)
+            return adv + nu * lap
+        return adv
+
+    def rk3(u, _):
+        u1 = u + dt * rhs(u)
+        u2 = 0.75 * u + 0.25 * (u1 + dt * rhs(u1))
+        u3 = u / 3.0 + 2.0 / 3.0 * (u2 + dt * rhs(u2))
+        return u3, None
+
+    def snapshot_step(u, _):
+        u, _ = jax.lax.scan(rk3, u, None, length=steps_per_snap)
+        return u, u
+
+    _, traj = jax.lax.scan(snapshot_step, u0, None, length=nt - 1)
+    traj = jnp.concatenate([u0[None], traj], axis=0)  # (Nt, Nx)
+    return {
+        "x": np.asarray(x).reshape(-1, 1),
+        "t": np.linspace(0.0, t_final, nt).reshape(-1, 1),
+        "usol": np.asarray(traj).T,
+    }
+
+
+def two_sin_ic(x: np.ndarray) -> np.ndarray:
+    """A two-mode sine IC of the TwoSin dataset family."""
+    return np.sin(np.pi * x) + 0.5 * np.sin(2.0 * np.pi * x)
+
+
+def save_mat(path: str, data: Dict[str, np.ndarray]) -> str:
+    import scipy.io
+
+    scipy.io.savemat(path, data)
+    return path

@@ -27,6 +27,7 @@ import math
 from pinns_tpu.config import (
     DataConfig,
     Experiment,
+    LBFGSConfig,
     LossConfig,
     MeshConfig,
     ModelConfig,
@@ -140,9 +141,12 @@ PRESETS = {
         pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=NU),
         sampling=SamplingConfig(n_f=10_000, strategy="fixed_lhs_anchored"),
         loss=LossConfig(data_kind="mse_sum", residual_kind="mean_sq"),
-        optimizer=OptimizerConfig(kind="hybrid", switch_epoch=10_000),
+        optimizer=OptimizerConfig(
+            kind="hybrid", switch_epoch=50_000,
+            lbfgs=LBFGSConfig(max_iters=20_000),
+        ),
         data=DataConfig(dataset="burgers_shock", n_u=100),
-        train=TrainConfig(epochs=10_050),
+        train=TrainConfig(epochs=50_010),
     ),
     "burgers_inverse": _exp(
         name="burgers_inverse",
@@ -156,9 +160,12 @@ PRESETS = {
         ),
         sampling=SamplingConfig(n_f=10_000, strategy="fixed_lhs"),
         loss=LossConfig(data_kind="mse_sum", residual_kind="mean_sq"),
-        optimizer=OptimizerConfig(kind="hybrid", switch_epoch=10_000),
+        optimizer=OptimizerConfig(
+            kind="hybrid", switch_epoch=50_000,
+            lbfgs=LBFGSConfig(max_iters=20_000),
+        ),
         data=DataConfig(dataset="burgers_shock", n_u=2000, selection="interior"),
-        train=TrainConfig(epochs=10_050),
+        train=TrainConfig(epochs=50_010),
     ),
     "burgers_scale": _exp(
         name="burgers_scale",

@@ -1,0 +1,115 @@
+"""Static figures: solution heatmap + time-slice comparisons vs exact.
+
+Layout parity with the reference's ``plot_results`` / ``plot_data.py`` family
+(``Abgrall_ADMM.py:321-398`` and the ~15 copies under ``figures/**``): a
+space-time heatmap of the predicted field with the training points overlaid,
+plus three t-slice panels comparing prediction against the exact solution at
+the 25/50/75% times. One figure per field (Burgers: u; Euler: rho, u, E).
+
+Difference by design: the reference round-trips through CSV and re-grids with
+``scipy.interpolate.griddata(cubic)``; our snapshots are evaluated ON the
+exact grid, so plotting is a reshape — no interpolation error, no SciPy
+dependency in the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _grid_pred(ds, values: np.ndarray) -> np.ndarray:
+    """(Nt*Nx, 1) flattened prediction -> (Nt, Nx) grid."""
+    nt, nx = ds.fields[next(iter(ds.fields))].shape
+    return np.asarray(values).reshape(nt, nx)
+
+
+def plot_solution(
+    ds,
+    preds: Dict[str, np.ndarray],
+    x_data: Optional[np.ndarray] = None,
+    out_path: str = "solution.png",
+    title: str = "",
+):
+    """Render heatmap + slices for every field; saves one PNG (stacked rows)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fields = [k for k in ds.field_names if k in preds]
+    nt = ds.t.shape[0]
+    slice_idx = [nt // 4, nt // 2, (3 * nt) // 4]
+
+    fig, axes = plt.subplots(
+        len(fields), 4, figsize=(16, 4 * len(fields)), squeeze=False,
+        gridspec_kw={"width_ratios": [2, 1, 1, 1]},
+    )
+    for row, name in enumerate(fields):
+        exact = ds.fields[name]
+        pred = _grid_pred(ds, preds[name])
+        ax = axes[row][0]
+        h = ax.imshow(
+            pred.T,
+            interpolation="nearest",
+            cmap="rainbow",
+            extent=[ds.t.min(), ds.t.max(), ds.x.min(), ds.x.max()],
+            origin="lower",
+            aspect="auto",
+        )
+        fig.colorbar(h, ax=ax, fraction=0.046)
+        if x_data is not None:
+            ax.plot(
+                x_data[:, 1], x_data[:, 0], "kx", markersize=2, clip_on=False,
+                label=f"Data ({x_data.shape[0]} points)",
+            )
+            ax.legend(loc="upper right", fontsize=8)
+        ax.set_xlabel("$t$")
+        ax.set_ylabel("$x$")
+        ax.set_title(f"${name}(t,x)$" + (f" — {title}" if title else ""))
+
+        for col, ti in enumerate(slice_idx, start=1):
+            ax = axes[row][col]
+            ax.plot(ds.x.ravel(), exact[ti], "b-", linewidth=2, label="Exact")
+            ax.plot(ds.x.ravel(), pred[ti], "r--", linewidth=2, label="Prediction")
+            ax.set_xlabel("$x$")
+            ax.set_ylabel(f"${name}(t,x)$")
+            ax.set_title(f"$t = {float(ds.t[ti, 0]):.2f}$")
+            if col == 2:
+                ax.legend(loc="best", fontsize=8)
+
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def load_snapshots(csv_path: str):
+    """Read a snapshot stream CSV -> (header, array, epochs present)."""
+    import csv as csv_mod
+
+    with open(csv_path) as fh:
+        reader = csv_mod.reader(fh)
+        header = next(reader)
+        data = np.array([[float(v) for v in row] for row in reader])
+    epochs = np.unique(data[:, header.index("epoch")]).astype(int)
+    return header, data, epochs
+
+
+def plot_from_snapshots(
+    ds, csv_path: str, epoch: Optional[int] = None, out_path: str = "snapshot.png"
+):
+    """Reference ``plot_data.py`` equivalent: render one epoch of the stream."""
+    header, data, epochs = load_snapshots(csv_path)
+    epoch = int(epochs[-1]) if epoch is None else int(epoch)
+    rows = data[data[:, header.index("epoch")] == epoch]
+    if rows.shape[0] == 0:
+        raise ValueError(f"epoch {epoch} not in snapshot file (has {epochs})")
+    preds = {}
+    for i, col in enumerate(header):
+        if col.endswith("_pred"):
+            preds[col[: -len("_pred")]] = rows[:, i : i + 1]
+    return plot_solution(ds, preds, out_path=out_path, title=f"epoch {epoch}")

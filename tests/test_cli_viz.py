@@ -1,0 +1,103 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pinns_tpu.cli import main as cli_main
+
+HAVE_REF = os.path.isdir("/root/reference")
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+
+SMALL = [
+    "--set", "model.layers=(2,12,12,1)",
+    "--set", "sampling.n_f=256",
+    "--set", "train.chunk=50",
+]
+
+
+def test_cli_presets(capsys):
+    assert cli_main(["presets"]) == 0
+    out = capsys.readouterr().out
+    assert "abgrall_admm" in out and "euler_admm" in out
+
+
+def test_cli_train_eval_plot_animate(tmp_path, capsys):
+    out_dir = str(tmp_path)
+    rc = cli_main(
+        ["train", "--preset", "abgrall_l2", *SMALL,
+         "--epochs", "100", "--out-dir", out_dir,
+         "--set", "train.snapshot_every=50"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert "rel_l2_u" in summary
+
+    ckpt = os.path.join(out_dir, "abgrall_l2_final.ckpt")
+    assert os.path.exists(ckpt)
+    rc = cli_main(["eval", "--preset", "abgrall_l2", *SMALL, "--checkpoint", ckpt])
+    assert rc == 0
+    evald = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    np.testing.assert_allclose(evald["rel_l2_u"], summary["rel_l2_u"], rtol=1e-5)
+
+    fig = os.path.join(out_dir, "fig.png")
+    rc = cli_main(
+        ["plot", "--preset", "abgrall_l2", *SMALL, "--checkpoint", ckpt,
+         "--out", fig]
+    )
+    assert rc == 0 and os.path.getsize(fig) > 10_000
+
+    snap = os.path.join(out_dir, "abgrall_l2_snapshots.csv")
+    fig2 = os.path.join(out_dir, "fig_snap.png")
+    rc = cli_main(
+        ["plot", "--preset", "abgrall_l2", *SMALL, "--snapshots", snap,
+         "--out", fig2]
+    )
+    assert rc == 0 and os.path.exists(fig2)
+
+    anim = os.path.join(out_dir, "conv.gif")  # no ffmpeg assumption
+    rc = cli_main(
+        ["animate", "--preset", "abgrall_l2", *SMALL, "--snapshots", snap,
+         "--out", anim, "--fps", "2"]
+    )
+    assert rc == 0
+    assert os.path.exists(anim)
+
+
+def test_cli_sweep(tmp_path, capsys):
+    out = os.path.join(str(tmp_path), "sweep.jsonl")
+    rc = cli_main(
+        ["sweep", "--preset", "abgrall_l2", *SMALL, "--epochs", "40",
+         "--grid", "loss.rho=10.0,40.0", "--out", out]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 2
+    assert all(l["status"] == "ok" for l in lines)
+
+
+def test_cli_bad_set():
+    with pytest.raises(SystemExit):
+        cli_main(["train", "--preset", "abgrall_l2", "--set", "nonsense"])
+
+
+def test_cli_euler_plot(tmp_path):
+    out_dir = str(tmp_path)
+    rc = cli_main(
+        ["train", "--preset", "euler_admm",
+         "--set", "model.layers=(2,12,12,3)",
+         "--set", "sampling.n_f=128",
+         "--set", "train.chunk=25",
+         "--epochs", "50", "--out-dir", out_dir]
+    )
+    assert rc == 0
+    ckpt = os.path.join(out_dir, "euler_admm_final.ckpt")
+    fig = os.path.join(out_dir, "euler.png")
+    rc = cli_main(
+        ["plot", "--preset", "euler_admm",
+         "--set", "model.layers=(2,12,12,3)",
+         "--set", "sampling.n_f=128",
+         "--checkpoint", ckpt, "--out", fig]
+    )
+    assert rc == 0 and os.path.getsize(fig) > 10_000

@@ -1,0 +1,98 @@
+"""Native data generation vs the reference's stored ground truth."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pinns_tpu.data.generators import (
+    burgers_cole_hopf,
+    burgers_fv,
+    euler_solve,
+    make_burgers_shock_grid,
+    save_mat,
+    two_sin_ic,
+)
+
+HAVE_REF = os.path.isdir("/root/reference")
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_cole_hopf_matches_reference_burgers_shock():
+    """The strongest oracle available: the stored canonical dataset."""
+    import scipy.io
+
+    ref = scipy.io.loadmat("/root/reference/Burgers/Data/burgers_shock.mat")
+    x, t, usol_ref = ref["x"], ref["t"], ref["usol"]
+    usol = burgers_cole_hopf(x, t)
+    err = np.linalg.norm(usol - usol_ref) / np.linalg.norm(usol_ref)
+    assert err < 1e-3, f"Cole-Hopf rel-L2 vs reference grid: {err:.2e}"
+
+
+def test_make_burgers_shock_grid_shapes():
+    grid = make_burgers_shock_grid(nx=64, nt=20)
+    assert grid["usol"].shape == (64, 20)
+    # IC row
+    np.testing.assert_allclose(
+        grid["usol"][:, 0], -np.sin(np.pi * grid["x"].ravel()), atol=1e-12
+    )
+    # boundaries stay ~0
+    assert np.abs(grid["usol"][0]).max() < 1e-6
+    assert np.abs(grid["usol"][-1]).max() < 1e-6
+
+
+def test_euler_solver_conservation_and_positivity():
+    out = euler_solve(nx=400, n_snapshots=40)
+    rho, u, ener = out["rhosol"], out["usol"], out["Enersol"]
+    assert rho.shape == (400, 40)
+    assert np.all(rho > 0)
+    assert np.all(np.isfinite(u)) and np.all(np.isfinite(ener))
+    # mass balance: d(sum rho)/dt equals the (constant-state) boundary flux
+    # difference — the blend IC has genuine inflow at the left boundary
+    mass = rho.sum(axis=0)
+    t = out["t"].ravel()
+    dx = out["x"][1, 0] - out["x"][0, 0]
+    flux_in = rho[0, 0] * u[0, 0] - rho[-1, 0] * u[-1, 0]
+    expected = mass[0] + flux_in * t / dx
+    np.testing.assert_allclose(mass, expected, rtol=2e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_euler_solver_matches_reference_dg_data():
+    """Cross-validate the FV solve against the DG-generated reference grid."""
+    import scipy.io
+
+    ref = scipy.io.loadmat("/root/reference/Eulers/Data/Abgrall_eulers.mat")
+    out = euler_solve(nx=1500, n_snapshots=157)
+    # interpolate our solution onto the reference's (deduped DG) x nodes at
+    # the final time
+    x_ref = ref["x"].ravel()
+    t_idx = -1
+    for name in ("rhosol", "usol", "Enersol"):
+        ours = np.interp(x_ref, out["x"].ravel(), out[name][:, t_idx])
+        theirs = ref[name][:, t_idx]
+        err = np.linalg.norm(ours - theirs) / np.linalg.norm(theirs)
+        assert err < 0.05, f"{name} rel-L2 vs DG reference at t=0.2: {err:.3f}"
+
+
+def test_burgers_fv_inviscid_shock():
+    out = burgers_fv(two_sin_ic, nx=256, nt=51, t_final=0.8)
+    u = out["usol"]
+    assert u.shape == (256, 51)
+    assert np.all(np.isfinite(u))
+    # total variation must not grow (TVD scheme, inviscid scalar law)
+    tv = np.abs(np.diff(u, axis=0)).sum(axis=0)
+    assert tv[-1] <= tv[0] * 1.01
+    # max principle
+    assert u.max() <= out["usol"][:, 0].max() + 1e-4
+    assert u.min() >= out["usol"][:, 0].min() - 1e-4
+
+
+def test_generated_dataset_roundtrip_through_loader(tmp_path):
+    from pinns_tpu.data.datasets import load_burgers_mat
+
+    grid = make_burgers_shock_grid(nx=64, nt=20)
+    path = save_mat(str(tmp_path / "gen.mat"), grid)
+    ds = load_burgers_mat(path)
+    assert ds.fields["u"].shape == (20, 64)
+    np.testing.assert_allclose(ds.lb, [-1.0, 0.0], atol=1e-6)

@@ -1,0 +1,78 @@
+"""Pallas kernels vs the jnp reference implementations (interpreter mode on
+CPU; the same assertions run compiled on real TPU in the verify drives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinns_tpu.models.mlp import MLPSpec, init_mlp, mlp_apply
+from pinns_tpu.ops.pallas.fused_mlp import (
+    _BLOCK,
+    auto_tile,
+    mlp_forward_pallas,
+    mlp_taylor2_pallas,
+)
+from pinns_tpu.ops.taylor import mlp_taylor_2
+
+NARROW = MLPSpec(layers=(2,) + (20,) * 4 + (1,), lb=(-1.0, 0.0), ub=(1.0, 1.0))
+WIDE = MLPSpec(layers=(2, 64, 64, 1), lb=(-1.0, 0.0), ub=(1.0, 1.0))
+
+
+def _x(n=700):  # deliberately not a tile multiple: exercises padding
+    return jax.random.uniform(jax.random.key(1), (n, 2))
+
+
+def test_forward_kernel_matches():
+    params = init_mlp(jax.random.key(0), NARROW)
+    x = _x()
+    y = mlp_forward_pallas(NARROW, params, x, tile=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(mlp_apply(NARROW, params, x)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_taylor2_lane_packed_matches():
+    assert max(NARROW.layers) <= _BLOCK  # dispatches to the packed kernel
+    params = init_mlp(jax.random.key(2), NARROW)
+    x = _x()
+    ref = mlp_taylor_2(NARROW, params, x)
+    out = mlp_taylor2_pallas(NARROW, params, x, tile=256, interpret=True)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_taylor2_sublane_stacked_matches():
+    assert max(WIDE.layers) > _BLOCK  # dispatches to the stacked kernel
+    params = init_mlp(jax.random.key(3), WIDE)
+    x = _x(300)
+    ref = mlp_taylor_2(WIDE, params, x)
+    out = mlp_taylor2_pallas(WIDE, params, x, tile=128, interpret=True)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_auto_tile_bounds():
+    assert auto_tile(NARROW) == 1024  # narrow nets cap at 1024
+    big = MLPSpec(layers=(2, 512, 512, 1), lb=(0.0, 0.0), ub=(1.0, 1.0))
+    t = auto_tile(big)
+    assert 128 <= t <= 1024 and t % 128 == 0
+    assert t < 1024  # wide nets must shrink below the cap
+
+
+def test_multi_output_taylor_kernel():
+    spec = MLPSpec(layers=(2, 24, 24, 3), lb=(0.0, 0.0), ub=(1.0, 0.2))
+    params = init_mlp(jax.random.key(4), spec)
+    x = _x(260)
+    ref = mlp_taylor_2(spec, params, x)
+    out = mlp_taylor2_pallas(spec, params, x, tile=128, interpret=True)
+    for a, b in zip(ref, out):
+        assert b.shape == (260, 3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
