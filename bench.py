@@ -58,6 +58,12 @@ def main():
         trainer, chunk_len=1000, n_chunks=3, n_f=exp.sampling.n_f
     )
 
+    # --- secondary: batch-scaled narrow config (throughput knee ~65k pts) ---
+    big = override(get_preset("abgrall_admm"), {"sampling.n_f": 65536})
+    big_pts, _ = _bench_chunk(
+        Trainer(big), chunk_len=100, n_chunks=5, n_f=65536
+    )
+
     # --- secondary: 1M-point scale config -----------------------------------
     scale = override(get_preset("burgers_scale"), {"train.chunk": 10})
     scale_tr = Trainer(scale)
@@ -74,6 +80,7 @@ def main():
                 "vs_baseline": round(pts_per_sec / CPU_REFERENCE_PTS_PER_SEC, 2),
                 "extra": {
                     "steps_per_sec_canonical": round(steps_per_sec, 1),
+                    "admm_65k_pts_per_sec": round(big_pts, 1),
                     "scale_1M_pts_per_sec": round(scale_pts, 1),
                     "scale_steps_per_sec": round(scale_steps, 2),
                     "device": str(jax.devices()[0]),

@@ -85,6 +85,24 @@ def cmd_train(args):
     return 0
 
 
+def _split_top_level(text: str):
+    """Split on commas not nested inside (), [] or {} — so tuple-valued grid
+    entries like model.layers=(2,8,1),(2,16,1) parse as two values."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p for p in parts if p]
+
+
 def cmd_sweep(args):
     from pinns_tpu.parallel.sweep import cartesian_grid, run_sweep
 
@@ -92,7 +110,7 @@ def cmd_sweep(args):
     lists = {}
     for spec in args.grid:
         key, values = spec.split("=", 1)
-        lists[key] = [_parse_value(v) for v in values.split(",")]
+        lists[key] = [_parse_value(v) for v in _split_top_level(values)]
     grid = cartesian_grid(lists)
     results = run_sweep(
         exp, grid, retries=args.retries, out_path=args.out, epochs=args.epochs

@@ -105,6 +105,11 @@ class TrainConfig:
     checkpoint_every: int = 0  # 0 = only final
     seed: int = 1234
     out_dir: str = ""  # empty = no file output
+    # When set, capture a jax.profiler trace of the second chunk (the first
+    # includes compilation) into this directory — the framework's tracing
+    # subsystem (the reference only has wall-clock prints,
+    # Abgrall_ADMM.py:229-235).
+    profile_dir: str = ""
 
 
 @_frozen

@@ -72,6 +72,37 @@ def shard_trainer(trainer, mesh):
     return trainer
 
 
+def tp_param_shardings(params, mesh, axis: str = ENSEMBLE_AXIS) -> Any:
+    """Tensor-parallel shardings for the MLP params: hidden weight matrices
+    split along their OUTPUT dimension over `axis` (and the next layer's
+    input dimension correspondingly), biases along the same dim.
+
+    With 20-200-wide nets this is bandwidth-silly (SURVEY.md §2.5 marks TP
+    optional/low-priority), but it is fully supported: GSPMD inserts the
+    activation all-gathers/reduce-scatters, and it composes with the 'data'
+    axis. Useful once nets grow past a single core's arithmetic sweet spot.
+    """
+    repl = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, axis))
+    row = NamedSharding(mesh, P(axis, None))
+    net = params["net"]
+    out = []
+    n = len(net)
+    for i, layer in enumerate(net):
+        w_shard = col if i < n - 1 else row  # head contracts the sharded dim
+        b_shard = col if i < n - 1 else repl
+        out.append({"W": w_shard, "b": b_shard})
+    return {
+        "net": out,
+        "coeffs": jax.tree_util.tree_map(lambda _: repl, params["coeffs"]),
+    }
+
+
+def place_params_tp(params, mesh, axis: str = ENSEMBLE_AXIS):
+    """device_put params into the tensor-parallel layout."""
+    return jax.device_put(params, tp_param_shardings(params, mesh, axis))
+
+
 def ensemble_state_shardings(stacked_state, mesh) -> Any:
     """Shardings for a stacked (vmapped) ensemble state: leading axis over
     'ensemble', collocation/ADMM additionally over 'data'."""

@@ -385,7 +385,12 @@ def make_lbfgs_step(problem: Problem):
 
 
 def make_chunked(step_fn, chunk: int):
-    """scan `chunk` steps into one device call; returns (state, stacked metrics)."""
+    """scan `chunk` steps into one device call; returns (state, stacked metrics).
+
+    The input state is donated — the step rewrites every leaf, so XLA updates
+    params/opt/ADMM buffers in place instead of allocating fresh ones each
+    chunk (matters at 1M-point collocation/z buffers).
+    """
 
     def chunk_fn(state, _):
         return step_fn(state)
@@ -393,7 +398,7 @@ def make_chunked(step_fn, chunk: int):
     def run(state):
         return jax.lax.scan(chunk_fn, state, None, length=chunk)
 
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=0)
 
 
 class Trainer:
@@ -479,6 +484,8 @@ class Trainer:
         t0 = time.time()
         start_epoch = int(state.epoch)
         epoch = start_epoch
+        n_chunks = 0
+        profiling = False
         while epoch < total:
             phase = self._phase(epoch)
             length = chunk if phase == "adam" else lbfgs_chunk
@@ -486,8 +493,16 @@ class Trainer:
             if phase == "adam" and self.exp.optimizer.kind == "hybrid":
                 length = min(length, self.exp.optimizer.switch_epoch - epoch)
             run = self._get_chunk(phase, length)
+            if exp.train.profile_dir and n_chunks == 1:
+                jax.profiler.start_trace(exp.train.profile_dir)
+                profiling = True
             state, metrics = run(state)
+            if profiling:
+                jax.block_until_ready(state)
+                jax.profiler.stop_trace()
+                profiling = False
             epoch += length
+            n_chunks += 1
             self._log_chunk(epoch, phase, metrics, time.time() - t0)
             t0 = time.time()
             self._maybe_snapshot(epoch, state)

@@ -1,0 +1,66 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import get_preset
+from pinns_tpu.parallel.sweep import SweepResult, cartesian_grid, run_sweep
+
+HAVE_REF = os.path.isdir("/root/reference")
+
+
+def test_cartesian_grid():
+    grid = cartesian_grid({"a": [1, 2], "b": ["x", "y", "z"]})
+    assert len(grid) == 6
+    assert {"a": 1, "b": "x"} in grid and {"a": 2, "b": "z"} in grid
+    assert cartesian_grid({}) == [{}]
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_sweep_records_failures_and_keeps_farming(tmp_path):
+    base = override(
+        get_preset("abgrall_l2"),
+        {
+            "model.layers": (2, 8, 8, 1),
+            "sampling.n_f": 128,
+            "train.chunk": 20,
+        },
+    )
+    # one invalid config (bad layers: in_dim 3 vs lb/ub len 2 triggers a
+    # build error), one valid
+    grid = [
+        {"model.layers": (3, 8, 1)},
+        {"loss.rho": 10.0},
+    ]
+    out = str(tmp_path / "res.jsonl")
+    results = run_sweep(base, grid, retries=1, out_path=out, epochs=20)
+    statuses = {json.dumps(r.overrides): r.status for r in results}
+    assert statuses[json.dumps(grid[0])] == "failed"
+    assert statuses[json.dumps(grid[1])] == "ok"
+    failed = [r for r in results if r.status == "failed"][0]
+    assert failed.attempts == 2  # retried once
+    assert failed.error and "lb/ub" in failed.error
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 2
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_sweep_seed_grouping_uses_ensemble(tmp_path):
+    base = override(
+        get_preset("abgrall_l2"),
+        {
+            "model.layers": (2, 8, 8, 1),
+            "sampling.n_f": 128,
+            "train.chunk": 20,
+            "optimizer.kind": "adam",
+        },
+    )
+    grid = cartesian_grid({"train.seed": [0, 1, 2]})
+    results = run_sweep(base, grid, epochs=20)
+    assert len(results) == 3
+    assert all(r.status == "ok" for r in results)
+    # distinct seeds gave distinct outcomes
+    errs = [r.summary["rel_l2_u"] for r in results]
+    assert len(set(np.round(errs, 10))) == 3
