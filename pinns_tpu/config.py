@@ -12,7 +12,7 @@ overrides (see ``pinns_tpu.cli``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 def _frozen(cls):
@@ -110,6 +110,10 @@ class TrainConfig:
     # subsystem (the reference only has wall-clock prints,
     # Abgrall_ADMM.py:229-235).
     profile_dir: str = ""
+    # Tolerance-based early stop: end training once |loss| <= stop_tol,
+    # checked at chunk granularity (the reference's `tol` loop condition,
+    # Hwan_L2Regularization_Burgers.py:74,134). 0 disables.
+    stop_tol: float = 0.0
 
 
 @_frozen

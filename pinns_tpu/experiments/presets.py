@@ -57,7 +57,7 @@ PRESETS = {
         loss=LossConfig(data_kind="l2_norm", residual_kind="mean_sq"),
         optimizer=OptimizerConfig(kind="adam"),
         data=DataConfig(dataset="abgrall_burgers_shock", n_u=100),
-        train=TrainConfig(epochs=100_000),
+        train=TrainConfig(epochs=100_000, stop_tol=1e-4),
     ),
     "hwan_admm": _exp(
         name="hwan_admm",
@@ -132,7 +132,9 @@ PRESETS = {
         loss=LossConfig(data_kind="mse_sum", residual_kind="admm", rho=40.0),
         optimizer=OptimizerConfig(kind="adam"),
         data=DataConfig(dataset="abgrall_eulers", n_u=200),
-        train=TrainConfig(epochs=100_000),
+        # chunk 250: the 5x200-wide step's 1000-step scan tickles a
+        # pathological compile on some toolchains; 250 compiles fast
+        train=TrainConfig(epochs=100_000, chunk=250),
     ),
     # --- framework-native presets ----------------------------------------
     "burgers_forward": _exp(

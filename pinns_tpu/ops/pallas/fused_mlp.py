@@ -39,7 +39,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from pinns_tpu.models.mlp import MLPSpec, Params, input_scale, normalize_inputs
+from pinns_tpu.models.mlp import MLPSpec, Params, normalize_inputs
 
 try:  # Pallas requires a TPU (or interpreter mode); import lazily-safe
     from jax.experimental import pallas as pl

@@ -69,6 +69,48 @@ def mlp_taylor_1(
     return y, y_x, y_t
 
 
+def mlp_taylor_2_stacked(
+    spec: MLPSpec, params: Params, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Same math as :func:`mlp_taylor_2`, but the four derivative streams are
+    stacked along the batch axis so each layer runs ONE (4N, W) matmul
+    instead of four (N, W) ones. Pure data movement — identical numerics,
+    fully differentiable; whether it wins depends on how well XLA handles
+    the small-matmul shapes (benchmarked on TPU; see BASELINE.md)."""
+    if spec.in_dim != 2:
+        raise ValueError("mlp_taylor_2_stacked expects in_dim == 2 (x, t)")
+    prec = spec.lax_precision
+    scale = input_scale(spec)
+    n = x.shape[0]
+
+    h = normalize_inputs(spec, x)
+    hx = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale, h.shape
+    )
+    ht = jnp.broadcast_to(
+        jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale, h.shape
+    )
+    s4 = jnp.concatenate([h, hx, ht, jnp.zeros_like(h)], axis=0)  # (4N, 2)
+
+    for layer in params[:-1]:
+        w, b = layer["W"], layer["b"]
+        p4 = jnp.dot(s4, w, precision=prec)
+        p = p4[0:n] + b
+        px = p4[n : 2 * n]
+        pt = p4[2 * n : 3 * n]
+        pxx = p4[3 * n : 4 * n]
+        s = jnp.tanh(p)
+        sp = 1.0 - s * s
+        spp = -2.0 * s * sp
+        s4 = jnp.concatenate(
+            [s, sp * px, sp * pt, spp * px * px + sp * pxx], axis=0
+        )
+
+    w, b = params[-1]["W"], params[-1]["b"]
+    y4 = jnp.dot(s4, w, precision=prec)
+    return y4[0:n] + b, y4[n : 2 * n], y4[2 * n : 3 * n], y4[3 * n : 4 * n]
+
+
 def mlp_taylor_2(
     spec: MLPSpec, params: Params, x: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -17,7 +17,6 @@ L-BFGS-B is unused); termination matches SciPy semantics:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -34,10 +33,6 @@ class LBFGSResult(NamedTuple):
     n_evals: jnp.ndarray
     converged: jnp.ndarray  # True if a tolerance triggered (vs maxiter / ls failure)
 
-
-# line-search outcome codes
-_LS_ACCEPT = 0
-_LS_FAIL = 1
 
 
 def _zoom_linesearch(value_and_grad, x, f0, g0, d, init_step, c1, c2, max_evals):

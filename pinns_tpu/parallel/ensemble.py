@@ -19,15 +19,29 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import jax
-import numpy as np
 
-from pinns_tpu.models.mlp import stack_params  # noqa: F401 (re-export)
 from pinns_tpu.train.trainer import TrainState, make_adam_step
 
 
-def init_ensemble_states(trainer, seeds: Sequence[int]) -> TrainState:
-    """Independent init per seed, stacked along a new leading axis."""
-    states = [trainer.init_state(seed=int(s)) for s in seeds]
+def init_ensemble_states(
+    trainer,
+    seeds: Sequence[int],
+    rhos: Optional[Sequence[float]] = None,
+) -> TrainState:
+    """Independent init per member, stacked along a new leading axis.
+
+    `rhos` gives each member its own ADMM penalty — the reference's main
+    sweep axis (rho in {10..40}, ``scheduler.py:146-150``) runs as a single
+    vmapped program instead of one farm job per value.
+    """
+    if rhos is not None and len(rhos) != len(seeds):
+        raise ValueError("rhos must match seeds length")
+    states = [
+        trainer.init_state(
+            seed=int(s), rho=None if rhos is None else float(rhos[i])
+        )
+        for i, s in enumerate(seeds)
+    ]
     return jax.tree_util.tree_map(
         lambda *xs: jax.numpy.stack(xs, axis=0), *states
     )

@@ -38,13 +38,15 @@ def state_shardings(state, mesh) -> Any:
         if state.admm is None
         else jax.tree_util.tree_map(lambda _: row, state.admm)
     )
+    repl = NamedSharding(mesh, P())
     return type(state)(
         params=_replicated_tree(state.params, mesh),
         opt_state=_replicated_tree(state.opt_state, mesh),
         admm=admm,
         colloc=row,
-        key=NamedSharding(mesh, P()),
-        epoch=NamedSharding(mesh, P()),
+        key=repl,
+        epoch=repl,
+        rho=None if state.rho is None else repl,
     )
 
 
@@ -120,6 +122,7 @@ def ensemble_state_shardings(stacked_state, mesh) -> Any:
         colloc=lead_row,
         key=lead,
         epoch=lead,
+        rho=None if stacked_state.rho is None else lead,
     )
 
 

@@ -51,9 +51,13 @@ class SweepResult:
     attempts: int = 1
 
 
-def _seedless(overrides: Dict) -> tuple:
+_VMAPPABLE = ("train.seed", "loss.rho")  # value-only axes a vmapped
+# ensemble can sweep in one program (shape/static axes get their own jit)
+
+
+def _group_key(overrides: Dict) -> tuple:
     return tuple(
-        sorted((k, v) for k, v in overrides.items() if k != "train.seed")
+        sorted((k, v) for k, v in overrides.items() if k not in _VMAPPABLE)
     )
 
 
@@ -86,10 +90,10 @@ def run_sweep(
             sink.write(json.dumps(dataclasses.asdict(res)) + "\n")
             sink.flush()
 
-    # group seed-only variants
+    # group configs that differ only along vmappable (value-only) axes
     groups: Dict[tuple, List[Dict]] = {}
     for overrides in grid:
-        groups.setdefault(_seedless(overrides), []).append(overrides)
+        groups.setdefault(_group_key(overrides), []).append(overrides)
 
     for _, members in groups.items():
         exp0 = override(base, members[0])
@@ -98,14 +102,21 @@ def run_sweep(
             group_seeds
             and len(members) > 1
             and exp0.optimizer.kind == "adam"
-            and all("train.seed" in m for m in members)
+            and all(
+                set(m) & set(_VMAPPABLE) for m in members
+            )
         )
         if use_ensemble:
             t0 = time.time()
             try:
                 trainer = Trainer(exp0)
-                seeds = [m["train.seed"] for m in members]
-                stacked = init_ensemble_states(trainer, seeds)
+                seeds = [
+                    m.get("train.seed", exp0.train.seed) for m in members
+                ]
+                rhos = None
+                if any("loss.rho" in m for m in members):
+                    rhos = [m.get("loss.rho", exp0.loss.rho) for m in members]
+                stacked = init_ensemble_states(trainer, seeds, rhos=rhos)
                 chunk = min(exp0.train.chunk, n_epochs)
                 run = make_ensemble_chunk(trainer, chunk)
                 done = 0

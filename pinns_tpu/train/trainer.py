@@ -22,7 +22,6 @@ evaluate residuals at the NEW points (``Abgrall_ADMM.py:220-226``) — see
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -70,6 +69,11 @@ class TrainState(NamedTuple):
     colloc: jnp.ndarray
     key: jax.Array
     epoch: jnp.ndarray  # int32 scalar
+    # Optional per-run ADMM penalty override (scalar array). None -> the
+    # static exp.loss.rho. Carried in the state so vmapped ensembles can
+    # sweep rho — the reference's main sweep axis (scheduler.py:146-150) —
+    # inside ONE program.
+    rho: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -180,18 +184,19 @@ def init_collocation(problem: Problem, key: jax.Array) -> jnp.ndarray:
     raise ValueError(f"unknown sampling strategy: {strategy!r}")
 
 
-def _residual_term(problem: Problem, params, colloc, admm_state):
+def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     """Residual loss term, optionally accumulated over rematerialized
     microbatches so activation memory stays at n_f/microbatch scale."""
     exp = problem.exp
     cfg = exp.loss
     n_f = exp.sampling.n_f
     m = exp.sampling.microbatch
+    rho = cfg.rho if rho is None else rho
 
     if m <= 1:
         residuals = problem.residuals(params, colloc)
         if cfg.residual_kind == "admm":
-            return admm_penalty(residuals, admm_state, cfg.rho, cfg.explicit_inner)
+            return admm_penalty(residuals, admm_state, rho, cfg.explicit_inner)
         if isinstance(residuals, tuple):
             return sum(
                 residual_penalty(f, cfg.residual_kind, n_f) for f in residuals
@@ -213,7 +218,7 @@ def _residual_term(problem: Problem, params, colloc, admm_state):
         def body(acc, xs):
             ch, st = xs
             f = problem.residuals(params, ch)
-            return acc + admm_penalty(f, st, cfg.rho, cfg.explicit_inner), None
+            return acc + admm_penalty(f, st, rho, cfg.explicit_inner), None
 
         term, _ = jax.lax.scan(
             jax.checkpoint(body), jnp.zeros((), dtype), (chunks, st_chunks)
@@ -256,7 +261,7 @@ def make_loss_fn(problem: Problem):
     n_u = exp.data.n_u
     loss_cfg = exp.loss
 
-    def loss_fn(params, colloc, admm_state):
+    def loss_fn(params, colloc, admm_state, rho=None):
         if exp.pde.kind == "burgers":
             lam1, lam2 = problem.effective_coeffs(params)
             u_pred = mlp_apply(spec, params["net"], problem.x_data)
@@ -277,7 +282,7 @@ def make_loss_fn(problem: Problem):
                 for i, name in enumerate(EULER_FIELDS)
             )
 
-        res_term = _residual_term(problem, params, colloc, admm_state)
+        res_term = _residual_term(problem, params, colloc, admm_state, rho)
         loss = data_term + res_term
         aux = {
             "loss": loss,
@@ -291,7 +296,7 @@ def make_loss_fn(problem: Problem):
     return loss_fn
 
 
-def _post_update(problem: Problem, params, admm_state, colloc, key):
+def _post_update(problem: Problem, params, admm_state, colloc, key, rho=None):
     """Shared tail of every step: resample, then ADMM updates at new points."""
     exp = problem.exp
     if exp.sampling.strategy == "resample_uniform":
@@ -305,9 +310,10 @@ def _post_update(problem: Problem, params, admm_state, colloc, key):
             )
     mis = jnp.zeros((), problem.spec.dtype)
     if exp.loss.residual_kind == "admm":
+        rho_val = exp.loss.rho if rho is None else rho
         f_new = problem.residuals_chunked(params, colloc)
         admm_state = admm_update(
-            f_new, admm_state, exp.loss.rho, exp.sampling.n_f
+            f_new, admm_state, rho_val, exp.sampling.n_f
         )
         mis = admm_misfit(f_new, admm_state)
     return admm_state, colloc, key, mis
@@ -319,14 +325,14 @@ def make_adam_step(problem: Problem, optimizer):
 
     def step(state: TrainState):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.colloc, state.admm
+            state.params, state.colloc, state.admm, state.rho
         )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
         admm_state, colloc, key, mis = _post_update(
-            problem, params, state.admm, state.colloc, state.key
+            problem, params, state.admm, state.colloc, state.key, state.rho
         )
         metrics = dict(aux, admm_misfit=mis, lbfgs_iters=jnp.zeros((), jnp.int32))
         return (
@@ -337,6 +343,7 @@ def make_adam_step(problem: Problem, optimizer):
                 colloc=colloc,
                 key=key,
                 epoch=state.epoch + 1,
+                rho=state.rho,
             ),
             metrics,
         )
@@ -355,7 +362,7 @@ def make_lbfgs_step(problem: Problem):
 
         x0, unravel = ravel_pytree(state.params)
         res = lbfgs_minimize(
-            lambda x: loss_fn(unravel(x), state.colloc, state.admm)[0],
+            lambda x: loss_fn(unravel(x), state.colloc, state.admm, state.rho)[0],
             x0,
             max_iters=cfg.max_iters,
             history=cfg.history,
@@ -364,9 +371,9 @@ def make_lbfgs_step(problem: Problem):
             max_ls=cfg.max_ls,
         )
         params = unravel(res.x)
-        _, aux = loss_fn(params, state.colloc, state.admm)
+        _, aux = loss_fn(params, state.colloc, state.admm, state.rho)
         admm_state, colloc, key, mis = _post_update(
-            problem, params, state.admm, state.colloc, state.key
+            problem, params, state.admm, state.colloc, state.key, state.rho
         )
         metrics = dict(aux, admm_misfit=mis, lbfgs_iters=res.n_iters)
         return (
@@ -377,6 +384,7 @@ def make_lbfgs_step(problem: Problem):
                 colloc=colloc,
                 key=key,
                 epoch=state.epoch + 1,
+                rho=state.rho,
             ),
             metrics,
         )
@@ -425,7 +433,9 @@ class Trainer:
         )
 
     # -- state ------------------------------------------------------------
-    def init_state(self, seed: Optional[int] = None) -> TrainState:
+    def init_state(
+        self, seed: Optional[int] = None, rho: Optional[float] = None
+    ) -> TrainState:
         exp = self.exp
         key = jax.random.key(exp.train.seed if seed is None else seed)
         k_net, k_colloc, k_run = jax.random.split(key, 3)
@@ -451,6 +461,7 @@ class Trainer:
             colloc=colloc,
             key=k_run,
             epoch=jnp.zeros((), jnp.int32),
+            rho=None if rho is None else jnp.asarray(rho, dtype),
         )
 
     # -- stepping ---------------------------------------------------------
@@ -503,10 +514,12 @@ class Trainer:
                 profiling = False
             epoch += length
             n_chunks += 1
-            self._log_chunk(epoch, phase, metrics, time.time() - t0)
+            last = self._log_chunk(epoch, phase, metrics, time.time() - t0)
             t0 = time.time()
             self._maybe_snapshot(epoch, state)
             self._maybe_checkpoint(epoch, state)
+            if exp.train.stop_tol > 0.0 and abs(last["loss"]) <= exp.train.stop_tol:
+                break
 
         summary = self.evaluate(state)
         summary["epochs"] = epoch
@@ -517,13 +530,17 @@ class Trainer:
 
     # -- reporting --------------------------------------------------------
     def _log_chunk(self, epoch, phase, metrics, elapsed):
-        last = {k: np.asarray(v)[-1] for k, v in metrics.items()}
-        self.logger.log(
-            epoch=epoch,
-            phase=phase,
-            elapsed=elapsed,
-            **{k: float(v) for k, v in last.items()},
+        # ONE device->host transfer: per-leaf fetches cost a full RPC each on
+        # tunneled backends (~0.2 s/leaf observed), which would dominate the
+        # loop at large chunk rates.
+        keys = sorted(metrics.keys())
+        stacked = jnp.stack(
+            [metrics[k][-1].astype(jnp.float32) for k in keys]
         )
+        values = np.asarray(stacked)
+        last = {k: float(v) for k, v in zip(keys, values)}
+        self.logger.log(epoch=epoch, phase=phase, elapsed=elapsed, **last)
+        return last
 
     def _maybe_snapshot(self, epoch, state):
         every = self.exp.train.snapshot_every

@@ -12,8 +12,6 @@ from __future__ import annotations
 import shutil
 from typing import Optional
 
-import numpy as np
-
 from pinns_tpu.viz.plots import load_snapshots
 
 

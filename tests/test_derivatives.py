@@ -95,3 +95,27 @@ def test_taylor_jits_and_vmaps():
     x = _points(jax.random.key(9), SPEC1, n=8)
     jit_out = jax.jit(lambda p, z: mlp_taylor_2(SPEC1, p, z)[3])(params, x)
     assert jit_out.shape == (8, 3)
+
+
+def test_taylor2_stacked_matches():
+    from pinns_tpu.ops.taylor import mlp_taylor_2_stacked
+
+    params = init_mlp(jax.random.key(10), SPEC2)
+    x = _points(jax.random.key(11), SPEC2)
+    ref = mlp_taylor_2(SPEC2, params, x)
+    out = mlp_taylor_2_stacked(SPEC2, params, x)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # gradients flow identically
+    def loss(fn, p):
+        _, yx, yt, yxx = fn(SPEC2, p, x)
+        return jnp.mean((yt + yx - 0.01 * yxx) ** 2)
+
+    g1, _ = jax.flatten_util.ravel_pytree(
+        jax.grad(lambda p: loss(mlp_taylor_2, p))(params)
+    )
+    g2, _ = jax.flatten_util.ravel_pytree(
+        jax.grad(lambda p: loss(mlp_taylor_2_stacked, p))(params)
+    )
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3, atol=1e-6)

@@ -111,3 +111,21 @@ def test_ensemble_sharded_over_mesh():
     stacked, metrics = run(stacked)
     assert np.all(np.isfinite(np.asarray(metrics["loss"])))
     assert len(stacked.colloc.sharding.device_set) == 8
+
+
+def test_ensemble_rho_sweep_matches_solo():
+    """Per-member rho (the reference's sweep axis) inside one vmapped program."""
+    tr = Trainer(_exp(**{"sampling.n_f": 256}))
+    stacked = init_ensemble_states(tr, seeds=[0, 0, 0], rhos=[1.0, 10.0, 40.0])
+    run = make_ensemble_chunk(tr, 15)
+    stacked, metrics = run(stacked)
+    losses = np.asarray(metrics["loss"])  # (15, 3)
+    # different rho -> genuinely different trajectories
+    assert not np.allclose(losses[:, 0], losses[:, 2])
+
+    # member with rho=10 == solo run with the preset's static rho=10
+    solo = tr.init_state(seed=0)
+    solo, solo_metrics = tr._get_chunk("adam", 15)(solo)
+    np.testing.assert_allclose(
+        losses[:, 1], np.asarray(solo_metrics["loss"]), rtol=2e-4, atol=1e-6
+    )

@@ -64,3 +64,23 @@ def test_sweep_seed_grouping_uses_ensemble(tmp_path):
     # distinct seeds gave distinct outcomes
     errs = [r.summary["rel_l2_u"] for r in results]
     assert len(set(np.round(errs, 10))) == 3
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_sweep_rho_axis_vmapped():
+    """The reference's rho sweep axis collapses into one vmapped group."""
+    base = override(
+        get_preset("abgrall_admm"),
+        {
+            "model.layers": (2, 8, 8, 1),
+            "sampling.n_f": 128,
+            "train.chunk": 10,
+            "optimizer.kind": "adam",
+        },
+    )
+    grid = cartesian_grid({"loss.rho": [0.1, 10.0, 100.0]})
+    results = run_sweep(base, grid, epochs=100)
+    assert len(results) == 3
+    assert all(r.status == "ok" for r in results)
+    errs = [r.summary["rel_l2_u"] for r in results]
+    assert len(set(np.round(errs, 10))) >= 2  # rho actually had an effect
