@@ -71,6 +71,8 @@ def cmd_train(args):
     exp = _build_exp(args)
     trainer = Trainer(exp)
     state = None
+    if args.mesh_data == 1 and exp.mesh.data_parallel > 1:
+        args.mesh_data = exp.mesh.data_parallel  # config-driven default
     if args.mesh_data > 1 or args.ensemble > 1:
         from pinns_tpu.parallel.mesh import make_mesh
         from pinns_tpu.parallel.sharding import place_state, shard_trainer

@@ -409,6 +409,24 @@ def make_chunked(step_fn, chunk: int):
     return jax.jit(run, donate_argnums=0)
 
 
+def enable_compilation_cache(path: str = "") -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    First compiles cost 20-150 s on remote-compile TPU paths; the cache makes
+    every later process with the same program shape start instantly.
+    """
+    import os
+
+    cache_dir = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "pinns_tpu_xla_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — older jax without these knobs
+        pass
+
+
 class Trainer:
     """End-to-end training orchestrator (host side).
 
@@ -419,6 +437,7 @@ class Trainer:
     """
 
     def __init__(self, exp: Experiment, problem: Optional[Problem] = None):
+        enable_compilation_cache()
         self.exp = exp
         self.problem = problem if problem is not None else build_problem(exp)
         self.optimizer = optax.adam(exp.optimizer.learning_rate)
@@ -514,12 +533,23 @@ class Trainer:
                 profiling = False
             epoch += length
             n_chunks += 1
-            last = self._log_chunk(epoch, phase, metrics, time.time() - t0)
-            t0 = time.time()
+            want_log = (
+                exp.train.stop_tol > 0.0
+                or epoch >= total
+                or exp.train.log_every <= 0
+                or (epoch // exp.train.log_every)
+                != ((epoch - length) // exp.train.log_every)
+            )
+            if want_log:
+                last = self._log_chunk(epoch, phase, metrics, time.time() - t0)
+                t0 = time.time()
+                if (
+                    exp.train.stop_tol > 0.0
+                    and abs(last["loss"]) <= exp.train.stop_tol
+                ):
+                    break
             self._maybe_snapshot(epoch, state)
             self._maybe_checkpoint(epoch, state)
-            if exp.train.stop_tol > 0.0 and abs(last["loss"]) <= exp.train.stop_tol:
-                break
 
         summary = self.evaluate(state)
         summary["epochs"] = epoch
