@@ -24,6 +24,11 @@ class ModelConfig:
     layers: Tuple[int, ...] = (2, 20, 20, 20, 20, 20, 20, 20, 20, 1)
     precision: str = "highest"  # matmul precision: 'default'|'high'|'highest'
     dtype: str = "float32"
+    # Run the whole Adam epoch as ONE Pallas kernel (in-kernel AD, Adam,
+    # PRNG resampling, ADMM updates — ops/pallas/fused_step.py). Exactness
+    # is verified against the XLA step; currently ~1.4x slower than XLA's
+    # fused scan on v5e, so off by default. Falls back when unsupported.
+    fused_step: bool = False
 
 
 @_frozen
