@@ -26,7 +26,6 @@ key, so trajectories differ from the XLA path only by RNG stream.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
