@@ -69,11 +69,51 @@ def cmd_train(args):
     from pinns_tpu.train import Trainer
 
     exp = _build_exp(args)
-    trainer = Trainer(exp)
-    state = None
+    if args.ensemble == 1 and exp.mesh.ensemble > 1:
+        args.ensemble = exp.mesh.ensemble
     if args.mesh_data == 1 and exp.mesh.data_parallel > 1:
         args.mesh_data = exp.mesh.data_parallel  # config-driven default
-    if args.mesh_data > 1 or args.ensemble > 1:
+    trainer = Trainer(exp)
+
+    if args.ensemble > 1:
+        # vmapped seed ensemble (the reference job farm's replacement);
+        # members = seeds train.seed .. train.seed + E - 1
+        import jax
+
+        from pinns_tpu.parallel.ensemble import (
+            evaluate_ensemble,
+            init_ensemble_states,
+            make_ensemble_chunk,
+        )
+        from pinns_tpu.parallel.mesh import make_mesh
+        from pinns_tpu.parallel.sharding import place_ensemble
+
+        if exp.optimizer.kind != "adam":
+            raise SystemExit("--ensemble requires optimizer.kind=adam")
+        seeds = [exp.train.seed + i for i in range(args.ensemble)]
+        stacked = init_ensemble_states(trainer, seeds)
+        if args.mesh_data > 1:
+            mesh = make_mesh(data=args.mesh_data, ensemble=args.ensemble)
+            stacked = place_ensemble(stacked, mesh)
+        total = exp.train.epochs
+        done = 0
+        runs = {}
+        while done < total:
+            length = min(exp.train.chunk, total - done)
+            if length not in runs:
+                runs[length] = make_ensemble_chunk(trainer, length)
+            stacked, _ = runs[length](stacked)
+            done += length
+        jax.block_until_ready(stacked)
+        for seed, summary in zip(
+            seeds, evaluate_ensemble(trainer, stacked, len(seeds))
+        ):
+            print(json.dumps(dict(summary, seed=seed)))
+        return 0
+
+    state = None
+    mesh = None
+    if args.mesh_data > 1:
         from pinns_tpu.parallel.mesh import make_mesh
         from pinns_tpu.parallel.sharding import place_state, shard_trainer
 
@@ -82,6 +122,10 @@ def cmd_train(args):
         state = place_state(trainer.init_state(), mesh)
     if args.resume:
         state = trainer.load_checkpoint(args.resume)
+        if mesh is not None:
+            from pinns_tpu.parallel.sharding import place_state
+
+            state = place_state(state, mesh)  # restore the sharded layout
     state, summary = trainer.train(state)
     print(json.dumps(summary))
     return 0

@@ -122,6 +122,18 @@ def load_euler_mat(
     )
 
 
+def ic_bc_candidates(ds: GridDataset) -> np.ndarray:
+    """The full IC row + boundary column candidate stack (Nx + 2 Nt, 2) —
+    what the reference anchors into fixed collocation sets
+    (``Hwan_L2Regularization_Burgers.py:179-184``: the vstack uses the FULL
+    X_u_train, before the N_u subsample)."""
+    xg, tg = ds.X_grid, ds.T_grid
+    ic = np.hstack([xg[0:1, :].T, tg[0:1, :].T])
+    left = np.hstack([xg[:, 0:1], tg[:, 0:1]])
+    right = np.hstack([xg[:, -1:], tg[:, -1:]])
+    return np.vstack([ic, left, right]).astype(np.float32)
+
+
 def build_ic_bc_training_set(
     ds: GridDataset,
     n_u: int,
@@ -138,11 +150,7 @@ def build_ic_bc_training_set(
 
     Returns (X_data:(n_u,2), targets: field -> (n_u,1)).
     """
-    xg, tg = ds.X_grid, ds.T_grid
-    ic = np.hstack([xg[0:1, :].T, tg[0:1, :].T])
-    left = np.hstack([xg[:, 0:1], tg[:, 0:1]])
-    right = np.hstack([xg[:, -1:], tg[:, -1:]])
-    candidates = np.vstack([ic, left, right]).astype(np.float32)
+    candidates = ic_bc_candidates(ds)
 
     targets_full = {}
     for k, grid in ds.fields.items():

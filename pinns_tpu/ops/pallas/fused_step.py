@@ -324,6 +324,12 @@ def make_fused_adam_step(problem, learning_rate: float):
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def step(state):
+        if state.rho is not None:
+            raise ValueError(
+                "the fused Pallas step bakes loss.rho in statically and "
+                "cannot honor TrainState.rho overrides (rho-vmapped "
+                "ensembles) — use the XLA step (model.fused_step=False)"
+            )
         key, sub = jax.random.split(state.key)
         seed = jax.random.key_data(sub).astype(jnp.int32).reshape(-1)[:2]
         adam_state = state.opt_state[0]

@@ -118,11 +118,14 @@ def run_sweep(
                     rhos = [m.get("loss.rho", exp0.loss.rho) for m in members]
                 stacked = init_ensemble_states(trainer, seeds, rhos=rhos)
                 chunk = min(exp0.train.chunk, n_epochs)
-                run = make_ensemble_chunk(trainer, chunk)
+                runs = {}
                 done = 0
                 while done < n_epochs:
-                    stacked, _ = run(stacked)
-                    done += chunk
+                    length = min(chunk, n_epochs - done)
+                    if length not in runs:
+                        runs[length] = make_ensemble_chunk(trainer, length)
+                    stacked, _ = runs[length](stacked)
+                    done += length
                 summaries = evaluate_ensemble(trainer, stacked, len(seeds))
                 dt = time.time() - t0
                 for m, s in zip(members, summaries):

@@ -35,6 +35,7 @@ from pinns_tpu.config import Experiment
 from pinns_tpu.data.datasets import (
     GridDataset,
     build_ic_bc_training_set,
+    ic_bc_candidates,
     interior_training_set,
     load_burgers_mat,
     load_euler_mat,
@@ -178,9 +179,14 @@ def init_collocation(problem: Problem, key: jax.Array) -> jnp.ndarray:
         unit = latin_hypercube(key, n_f, 2, problem.spec.dtype)
         return scale_to_bounds(unit, problem.lb, problem.ub)
     if strategy == "fixed_lhs_anchored":
+        # the reference anchors the FULL IC/BC candidate stack, not the N_u
+        # subsample (Hwan_L2Regularization_Burgers.py:179-184)
         unit = latin_hypercube(key, n_f, 2, problem.spec.dtype)
         pts = scale_to_bounds(unit, problem.lb, problem.ub)
-        return jnp.concatenate([pts, problem.x_data], axis=0)
+        anchors = jnp.asarray(
+            ic_bc_candidates(problem.dataset), problem.spec.dtype
+        )
+        return jnp.concatenate([pts, anchors], axis=0)
     raise ValueError(f"unknown sampling strategy: {strategy!r}")
 
 
@@ -312,8 +318,11 @@ def _post_update(problem: Problem, params, admm_state, colloc, key, rho=None):
     if exp.loss.residual_kind == "admm":
         rho_val = exp.loss.rho if rho is None else rho
         f_new = problem.residuals_chunked(params, colloc)
+        # threshold normalizer = ACTUAL residual row count (anchored sets are
+        # larger than sampling.n_f; reference uses N_r = x_f.shape[0],
+        # Hwan_L1Regularization_ADMM_Burgers.py:56,93)
         admm_state = admm_update(
-            f_new, admm_state, rho_val, exp.sampling.n_f
+            f_new, admm_state, rho_val, colloc.shape[0]
         )
         mis = admm_misfit(f_new, admm_state)
     return admm_state, colloc, key, mis
@@ -371,7 +380,32 @@ def make_lbfgs_step(problem: Problem):
             max_ls=cfg.max_ls,
         )
         params = unravel(res.x)
-        _, aux = loss_fn(params, state.colloc, state.admm, state.rho)
+        # rebuild aux from the solver's own final value: the data term is a
+        # cheap n_u-point forward; res_term = f - data (avoids re-running the
+        # full n_f-point residual pass just for metrics)
+        lam1, lam2 = problem.effective_coeffs(params)
+        if problem.exp.pde.kind == "burgers":
+            u_pred = mlp_apply(problem.spec, params["net"], problem.x_data)
+            data_term = data_misfit(
+                u_pred, problem.targets["u"], problem.exp.loss.data_kind,
+                problem.exp.data.n_u,
+            )
+        else:
+            y = mlp_apply(problem.spec, params["net"], problem.x_data)
+            data_term = sum(
+                data_misfit(
+                    y[:, i : i + 1], problem.targets[name],
+                    problem.exp.loss.data_kind, problem.exp.data.n_u,
+                )
+                for i, name in enumerate(EULER_FIELDS)
+            )
+        aux = {
+            "loss": res.f,
+            "data_term": data_term,
+            "res_term": res.f - data_term,
+            "lambda1": jnp.reshape(lam1, ()),
+            "lambda2": jnp.reshape(lam2, ()),
+        }
         admm_state, colloc, key, mis = _post_update(
             problem, params, state.admm, state.colloc, state.key, state.rho
         )
@@ -502,7 +536,10 @@ class Trainer:
                     make_fused_adam_step,
                 )
 
-                if fused_step_supported(self.exp, self.problem.spec):
+                sharded = self.problem.colloc_sharding is not None
+                if not sharded and fused_step_supported(
+                    self.exp, self.problem.spec
+                ):
                     step = make_fused_adam_step(
                         self.problem, self.exp.optimizer.learning_rate
                     )
@@ -558,8 +595,8 @@ class Trainer:
                     and abs(last["loss"]) <= exp.train.stop_tol
                 ):
                     break
-            self._maybe_snapshot(epoch, state)
-            self._maybe_checkpoint(epoch, state)
+            self._maybe_snapshot(epoch, length, state)
+            self._maybe_checkpoint(epoch, length, state)
 
         summary = self.evaluate(state)
         summary["epochs"] = epoch
@@ -582,14 +619,20 @@ class Trainer:
         self.logger.log(epoch=epoch, phase=phase, elapsed=elapsed, **last)
         return last
 
-    def _maybe_snapshot(self, epoch, state):
+    @staticmethod
+    def _crossed(epoch, length, every):
+        # true when (epoch-length, epoch] contains a multiple of `every` —
+        # chunk lengths need not divide the cadence
+        return every > 0 and (epoch // every) != ((epoch - length) // every)
+
+    def _maybe_snapshot(self, epoch, length, state):
         every = self.exp.train.snapshot_every
-        if every and self.exp.train.out_dir and epoch % every == 0:
+        if every and self.exp.train.out_dir and self._crossed(epoch, length, every):
             self.record_snapshot(state, epoch)
 
-    def _maybe_checkpoint(self, epoch, state):
+    def _maybe_checkpoint(self, epoch, length, state):
         every = self.exp.train.checkpoint_every
-        if every and self.exp.train.out_dir and epoch % every == 0:
+        if every and self.exp.train.out_dir and self._crossed(epoch, length, every):
             self.save_checkpoint(state, tag=f"e{epoch}")
 
     def predict(self, params, x) -> Dict[str, np.ndarray]:

@@ -101,3 +101,24 @@ def test_cli_euler_plot(tmp_path):
          "--checkpoint", ckpt, "--out", fig]
     )
     assert rc == 0 and os.path.getsize(fig) > 10_000
+
+
+def test_euler_animate(tmp_path):
+    out_dir = str(tmp_path)
+    rc = cli_main(
+        ["train", "--preset", "euler_admm",
+         "--set", "model.layers=(2,12,12,3)",
+         "--set", "sampling.n_f=128",
+         "--set", "train.chunk=25",
+         "--set", "train.snapshot_every=25",
+         "--epochs", "50", "--out-dir", out_dir]
+    )
+    assert rc == 0
+    snap = os.path.join(out_dir, "euler_admm_snapshots.csv")
+    anim = os.path.join(out_dir, "rho_conv.gif")
+    rc = cli_main(
+        ["animate", "--preset", "euler_admm",
+         "--set", "model.layers=(2,12,12,3)",
+         "--snapshots", snap, "--field", "rho", "--out", anim, "--fps", "2"]
+    )
+    assert rc == 0 and os.path.getsize(anim) > 5000
