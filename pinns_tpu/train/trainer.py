@@ -431,14 +431,25 @@ def make_chunked(step_fn, chunk: int):
 
     The input state is donated — the step rewrites every leaf, so XLA updates
     params/opt/ADMM buffers in place instead of allocating fresh ones each
-    chunk (matters at 1M-point collocation/z buffers).
+    chunk (matters at 1M-point collocation/z buffers). Per-step metrics are
+    packed into ONE array inside the scan (profiling showed one
+    dynamic_update_slice per metric per step — 7 of the ~167 device ops each
+    step were metric bookkeeping) and unpacked into the dict after the scan.
     """
+    probe_metrics = None
 
     def chunk_fn(state, _):
-        return step_fn(state)
+        nonlocal probe_metrics
+        state, metrics = step_fn(state)
+        keys = sorted(metrics)
+        if probe_metrics is None:
+            probe_metrics = keys
+        packed = jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
+        return state, packed
 
     def run(state):
-        return jax.lax.scan(chunk_fn, state, None, length=chunk)
+        state, packed = jax.lax.scan(chunk_fn, state, None, length=chunk)
+        return state, {k: packed[:, i] for i, k in enumerate(probe_metrics)}
 
     return jax.jit(run, donate_argnums=0)
 
