@@ -115,3 +115,27 @@ def test_scale_to_bounds():
     unit = jnp.array([[0.0, 0.0], [1.0, 1.0], [0.5, 0.5]])
     out = scale_to_bounds(unit, [-2.0, 1.0], [2.0, 3.0])
     np.testing.assert_allclose(out, [[-2, 1], [2, 3], [0, 2]], atol=1e-6)
+
+
+def test_missing_dataset_falls_back_to_generator(tmp_path):
+    # empty root: burgers_shock regenerates via Cole-Hopf
+    ds = load_burgers_mat("burgers_shock", root=str(tmp_path))
+    assert ds.fields["u"].shape == (100, 256)
+    np.testing.assert_allclose(ds.lb, [-1.0, 0.0], atol=1e-6)
+    if HAVE_REF:
+        ref = load_burgers_mat("burgers_shock")  # from the reference tree
+        err = np.linalg.norm(ds.fields["u"] - ref.fields["u"]) / np.linalg.norm(
+            ref.fields["u"]
+        )
+        assert err < 1e-3
+
+    # datasets with no generator raise a helpful error
+    with pytest.raises(FileNotFoundError, match="generate-data"):
+        load_burgers_mat("twosin_burgers_shock", root=str(tmp_path))
+
+
+def test_missing_euler_dataset_regenerates(tmp_path):
+    ds = load_euler_mat("abgrall_eulers", root=str(tmp_path))
+    assert set(ds.field_names) == {"rho", "u", "E"}
+    assert ds.fields["rho"].shape[0] == 157  # (Nt, Nx) layout
+    assert ds.fields["rho"].shape[1] == 300
