@@ -64,6 +64,13 @@ class LossConfig:
     residual_kind: str = "admm"  # 'mean_sq'|'l2_sq_norm'|'l1_sq_norm'|'admm'
     rho: float = 10.0  # ADMM penalty (the Euler script calls it `pen`)
     explicit_inner: bool = False  # Hwan ADMM's dual^T r term
+    # Where the ADMM z/dual updates evaluate residuals (SURVEY.md hard part
+    # #4): 'resampled' reproduces the reference — resample first, then update
+    # z/dual at the NEW points, re-evaluating the residual graph
+    # (Abgrall_ADMM.py:220-226); 'current' updates z/dual at the points the
+    # weight step actually saw — the textbook ADMM splitting. Perf-neutral in
+    # practice (XLA CSEs the residual evaluations); the choice is semantic.
+    admm_update_points: str = "resampled"
 
 
 @_frozen

@@ -302,6 +302,27 @@ def make_loss_fn(problem: Problem):
     return loss_fn
 
 
+def _post_update_current(problem: Problem, params, admm_state, colloc, key, rho):
+    """'current'-points ADMM tail: z/dual update at the batch the weight step
+    saw (textbook splitting; one residual evaluation per step), THEN resample
+    for the next step."""
+    exp = problem.exp
+    rho_val = exp.loss.rho if rho is None else rho
+    f_cur = problem.residuals_chunked(params, colloc)
+    admm_state = admm_update(f_cur, admm_state, rho_val, colloc.shape[0])
+    mis = admm_misfit(f_cur, admm_state)
+    if exp.sampling.strategy == "resample_uniform":
+        key, sub = jax.random.split(key)
+        colloc = uniform_box(
+            sub, exp.sampling.n_f, problem.lb, problem.ub, problem.spec.dtype
+        )
+        if problem.colloc_sharding is not None:
+            colloc = jax.lax.with_sharding_constraint(
+                colloc, problem.colloc_sharding
+            )
+    return admm_state, colloc, key, mis
+
+
 def _post_update(problem: Problem, params, admm_state, colloc, key, rho=None):
     """Shared tail of every step: resample, then ADMM updates at new points."""
     exp = problem.exp
@@ -340,7 +361,13 @@ def make_adam_step(problem: Problem, optimizer):
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        admm_state, colloc, key, mis = _post_update(
+        tail = (
+            _post_update_current
+            if problem.exp.loss.residual_kind == "admm"
+            and problem.exp.loss.admm_update_points == "current"
+            else _post_update
+        )
+        admm_state, colloc, key, mis = tail(
             problem, params, state.admm, state.colloc, state.key, state.rho
         )
         metrics = dict(aux, admm_misfit=mis, lbfgs_iters=jnp.zeros((), jnp.int32))

@@ -179,3 +179,18 @@ def test_frozen_coeffs_stay_fixed():
     state, summary = tr.train()
     assert summary["lambda1"] == 1.0
     assert summary["lambda2"] == 0.0
+
+
+def test_admm_current_points_variant():
+    """'current' update-point semantics trains and differs from 'resampled'."""
+    base = _small("abgrall_admm", **{"model.layers": (2, 12, 12, 1),
+                                     "train.epochs": 60, "train.chunk": 30,
+                                     "optimizer.kind": "adam"})
+    cur = override(base, {"loss.admm_update_points": "current"})
+    s1, r1 = Trainer(base).train()
+    s2, r2 = Trainer(cur).train()
+    assert np.isfinite(r2["rel_l2_u"])
+    # different semantics -> different trajectories
+    w1 = np.asarray(s1.params["net"][0]["W"])
+    w2 = np.asarray(s2.params["net"][0]["W"])
+    assert not np.allclose(w1, w2)
