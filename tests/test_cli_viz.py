@@ -122,3 +122,25 @@ def test_euler_animate(tmp_path):
          "--snapshots", snap, "--field", "rho", "--out", anim, "--fps", "2"]
     )
     assert rc == 0 and os.path.getsize(anim) > 5000
+
+
+def test_cli_polish(tmp_path):
+    """f64 polish improves (or at least does not worsen) a tiny checkpoint."""
+    out_dir = str(tmp_path)
+    rc = cli_main(
+        ["train", "--preset", "burgers_forward",
+         "--set", "model.layers=(2,12,12,1)",
+         "--set", "sampling.n_f=256", "--set", "sampling.strategy=fixed_lhs",
+         "--set", "train.chunk=100", "--set", "optimizer.kind=adam",
+         "--epochs", "300", "--out-dir", out_dir]
+    )
+    assert rc == 0
+    ckpt = os.path.join(out_dir, "burgers_forward_final.ckpt")
+    rc = cli_main(
+        ["polish", "--preset", "burgers_forward",
+         "--set", "model.layers=(2,12,12,1)",
+         "--set", "sampling.n_f=256", "--set", "sampling.strategy=fixed_lhs",
+         "--checkpoint", ckpt, "--max-iters", "100"]
+    )
+    assert rc == 0
+    assert os.path.exists(ckpt + ".polished.ckpt")
