@@ -31,10 +31,10 @@ CPU_REFERENCE_PTS_PER_SEC = 14_931.0
 
 
 def _bench_chunk(trainer, chunk_len, n_chunks, n_f):
-    """Two-point slope timing: chunks are chained through the state (forces
-    real sequential execution), and taking the difference between a short and
-    a long chained run cancels the constant host<->device sync cost, which on
-    tunneled backends (~0.1-0.2 s per sync) would otherwise dominate."""
+    """Chained-state timing: chunks are chained through the state (forces
+    real sequential execution), and the run is long enough that the constant
+    host<->device sync cost (~0.1-0.2 s per sync on tunneled backends) is
+    amortized to noise; best-of-3 rejects relay latency spikes."""
     state = trainer.init_state()
     run = trainer._get_chunk("adam", chunk_len)
     # compile + warmup

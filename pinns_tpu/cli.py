@@ -77,37 +77,19 @@ def cmd_train(args):
 
     if args.ensemble > 1:
         # vmapped seed ensemble (the reference job farm's replacement);
-        # members = seeds train.seed .. train.seed + E - 1
-        import jax
+        # members = seeds train.seed .. train.seed + E - 1; runs the full
+        # optimizer schedule (incl. hybrid Adam -> L-BFGS) with per-member
+        # logs/snapshots/checkpoints — same artifact set as a solo run
+        from pinns_tpu.parallel.ensemble import run_ensemble
 
-        from pinns_tpu.parallel.ensemble import (
-            evaluate_ensemble,
-            init_ensemble_states,
-            make_ensemble_chunk,
-        )
-        from pinns_tpu.parallel.mesh import make_mesh
-        from pinns_tpu.parallel.sharding import place_ensemble
-
-        if exp.optimizer.kind != "adam":
-            raise SystemExit("--ensemble requires optimizer.kind=adam")
-        seeds = [exp.train.seed + i for i in range(args.ensemble)]
-        stacked = init_ensemble_states(trainer, seeds)
+        mesh = None
         if args.mesh_data > 1:
+            from pinns_tpu.parallel.mesh import make_mesh
+
             mesh = make_mesh(data=args.mesh_data, ensemble=args.ensemble)
-            stacked = place_ensemble(stacked, mesh)
-        total = exp.train.epochs
-        done = 0
-        runs = {}
-        while done < total:
-            length = min(exp.train.chunk, total - done)
-            if length not in runs:
-                runs[length] = make_ensemble_chunk(trainer, length)
-            stacked, _ = runs[length](stacked)
-            done += length
-        jax.block_until_ready(stacked)
-        for seed, summary in zip(
-            seeds, evaluate_ensemble(trainer, stacked, len(seeds))
-        ):
+        seeds = [exp.train.seed + i for i in range(args.ensemble)]
+        _, summaries = run_ensemble(trainer, seeds, mesh=mesh)
+        for seed, summary in zip(seeds, summaries):
             print(json.dumps(dict(summary, seed=seed)))
         return 0
 

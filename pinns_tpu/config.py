@@ -118,7 +118,7 @@ class MeshConfig:
 class TrainConfig:
     epochs: int = 100_000
     chunk: int = 1000  # steps fused into one lax.scan device call
-    log_every: int = 1000
+    log_every: int = 1000  # metrics-log cadence in epochs; <= 0 = final only
     snapshot_every: int = 0  # full-grid prediction snapshots; 0 = off
     checkpoint_every: int = 0  # 0 = only final
     seed: int = 1234

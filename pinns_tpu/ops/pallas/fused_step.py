@@ -59,6 +59,10 @@ def fused_step_supported(exp, spec: MLPSpec, n_devices: int = 1) -> bool:
         and exp.sampling.strategy == "resample_uniform"
         and exp.sampling.microbatch <= 1
         and exp.loss.data_kind == "mse_sum"
+        # the kernel hardcodes float32 buffers and the reference's
+        # 'resampled' ADMM update semantics — other configs take the XLA step
+        and spec.dtype == jnp.float32
+        and exp.loss.admm_update_points == "resampled"
         and n_devices == 1
         and vmem_estimate < 10 * 1024 * 1024
     )

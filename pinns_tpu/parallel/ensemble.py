@@ -9,6 +9,13 @@ stack, and shard the ensemble axis across the mesh. No processes, no polling,
 no pickled message protocol — and members training in lockstep amortize
 compilation and dispatch.
 
+The farm's actual payload was the HYBRID schedule — Adam to epoch 50 000 then
+L-BFGS (``scheduler.py:146-150`` sweeping ``Abgrall_ADMM.py:66-73,210-217``)
+— so the full schedule runs vmapped here: the on-device L-BFGS
+(``pinns_tpu.opt.lbfgs``) is pure ``lax.while_loop`` + vector algebra and
+batches cleanly (members that converge early coast under the lifted loop
+predicate until the slowest member finishes).
+
 Grid axes that change shapes or static config (layer widths, N_f, loss kind)
 become separate jit specializations, orchestrated by
 ``pinns_tpu.parallel.sweep``.
@@ -16,11 +23,19 @@ become separate jit specializations, orchestrated by
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
-from pinns_tpu.train.trainer import TrainState, make_adam_step
+from pinns_tpu.train.metrics import MetricsLogger
+from pinns_tpu.train.trainer import (
+    TrainState,
+    make_adam_step,
+    make_lbfgs_step,
+)
 
 
 def init_ensemble_states(
@@ -47,21 +62,46 @@ def init_ensemble_states(
     )
 
 
-def make_ensemble_chunk(trainer, chunk: int):
+def make_ensemble_chunk(trainer, chunk: int, phase: str = "adam"):
     """jitted scan of `chunk` vmapped steps over the stacked ensemble state.
 
-    Returns run(stacked_state) -> (stacked_state, stacked metrics of shape
-    (chunk, E)).
+    `phase` selects the step ('adam' or 'lbfgs' — an L-BFGS step is one whole
+    inner solve, mirroring the solo trainer's hybrid schedule). Returns
+    run(stacked_state) -> (stacked_state, metrics dict of (chunk, E) arrays).
+    Metrics are packed into one array inside the scan (one transfer per
+    chunk, not per metric).
     """
-    step = make_adam_step(trainer.problem, trainer.optimizer)
+    if phase == "adam":
+        step = make_adam_step(trainer.problem, trainer.optimizer)
+    elif phase == "lbfgs":
+        step = make_lbfgs_step(trainer.problem)
+    else:
+        raise ValueError(f"unknown phase {phase!r}")
     vstep = jax.vmap(step)
+    probe_keys: List[str] = []
 
     def chunk_fn(state, _):
-        return vstep(state)
+        state, metrics = vstep(state)
+        keys = sorted(metrics)
+        if not probe_keys:
+            probe_keys.extend(keys)
+        elif keys != probe_keys:
+            raise RuntimeError(
+                f"ensemble metric keys changed between traces: {probe_keys}"
+                f" -> {keys}"
+            )
+        packed = jnp.stack(
+            [metrics[k].astype(jnp.float32) for k in keys]
+        )  # (K, E)
+        return state, packed
 
-    return jax.jit(
-        lambda s: jax.lax.scan(chunk_fn, s, None, length=chunk)
-    )
+    def run(state):
+        state, packed = jax.lax.scan(chunk_fn, state, None, length=chunk)
+        return state, {
+            k: packed[:, i] for i, k in enumerate(probe_keys)
+        }
+
+    return jax.jit(run, donate_argnums=0)
 
 
 def unstack_states(stacked: TrainState, n: int) -> List[TrainState]:
@@ -73,3 +113,108 @@ def unstack_states(stacked: TrainState, n: int) -> List[TrainState]:
 def evaluate_ensemble(trainer, stacked: TrainState, n: int) -> List[dict]:
     """Per-member final evaluation (rel-L2 per field), host side."""
     return [trainer.evaluate(s) for s in unstack_states(stacked, n)]
+
+
+def run_ensemble(
+    trainer,
+    seeds: Sequence[int],
+    rhos: Optional[Sequence[float]] = None,
+    epochs: Optional[int] = None,
+    stacked: Optional[TrainState] = None,
+    mesh=None,
+) -> tuple:
+    """Train a stacked ensemble through the trainer's FULL optimizer schedule.
+
+    This is the faithful replacement for one batch of reference farm jobs:
+    the hybrid Adam -> L-BFGS switch (``Abgrall_ADMM.py:210-217``), metric
+    logging, prediction snapshots, and checkpoints all run per member —
+    member 0 streams through the trainer's own logger (same artifact names as
+    a solo run), members >= 1 get `<name>_m<i>_*` files. Returns
+    (stacked_state, [per-member summary dicts]).
+    """
+    exp = trainer.exp
+    n = len(seeds)
+    if stacked is None:
+        stacked = init_ensemble_states(trainer, seeds, rhos=rhos)
+    if mesh is not None:
+        from pinns_tpu.parallel.sharding import place_ensemble
+
+        stacked = place_ensemble(stacked, mesh)
+
+    out_dir = exp.train.out_dir or None
+    loggers = [trainer.logger]
+    for i in range(1, n):
+        loggers.append(
+            MetricsLogger(out_dir=out_dir, name=f"{exp.name}_m{i}", console=False)
+        )
+
+    total = exp.train.epochs if epochs is None else epochs
+    chunk = max(1, min(exp.train.chunk, total))
+    lbfgs_chunk = max(1, min(chunk // 100 or 1, 10))
+    runs = {}
+
+    epoch = int(np.asarray(stacked.epoch).flat[0])
+    t0 = time.time()
+    while epoch < total:
+        phase = trainer._phase(epoch)
+        length = chunk if phase == "adam" else lbfgs_chunk
+        length = min(length, total - epoch)
+        if phase == "adam" and exp.optimizer.kind == "hybrid":
+            length = min(length, exp.optimizer.switch_epoch - epoch)
+        key = (phase, length)
+        if key not in runs:
+            runs[key] = make_ensemble_chunk(trainer, length, phase)
+        stacked, metrics = runs[key](stacked)
+        epoch += length
+
+        if epoch >= total or _crossed(epoch, length, exp.train.log_every):
+            # ONE device->host fetch for all members' last-step metrics
+            keys = sorted(metrics)
+            values = np.asarray(
+                jnp.stack([metrics[k][-1] for k in keys])
+            )  # (K, E)
+            elapsed = time.time() - t0
+            t0 = time.time()
+            for i in range(n):
+                loggers[i].log(
+                    epoch=epoch,
+                    phase=phase,
+                    member=i,
+                    elapsed=elapsed,
+                    **{k: float(values[j, i]) for j, k in enumerate(keys)},
+                )
+        if out_dir and (
+            _crossed(epoch, length, exp.train.snapshot_every)
+            or _crossed(epoch, length, exp.train.checkpoint_every)
+        ):
+            want_snap = _crossed(epoch, length, exp.train.snapshot_every)
+            want_ckpt = _crossed(epoch, length, exp.train.checkpoint_every)
+            for i, member in enumerate(unstack_states(stacked, n)):
+                if want_snap:
+                    _member_snapshot(trainer, loggers[i], member, epoch)
+                if want_ckpt:
+                    trainer.save_checkpoint(member, tag=f"e{epoch}_m{i}")
+
+    summaries = evaluate_ensemble(trainer, stacked, n)
+    for i, (logger, summary) in enumerate(zip(loggers, summaries)):
+        logger.write_summary(dict(summary, member=i, seed=int(seeds[i])))
+    if out_dir:
+        for i, member in enumerate(unstack_states(stacked, n)):
+            trainer.save_checkpoint(member, tag=f"final_m{i}")
+    return stacked, summaries
+
+
+def _member_snapshot(trainer, logger, state, epoch):
+    """Full-grid prediction snapshot for one member (same CSV schema as the
+    solo path, ``Abgrall_ADMM.py:400-409``)."""
+    ds = trainer.problem.dataset
+    preds = trainer.predict(state.params, ds.X_star)
+    cols = {"x": ds.X_star[:, 0], "t": ds.X_star[:, 1]}
+    for name in ds.field_names:
+        cols[f"{name}_pred"] = preds[name][:, 0]
+    cols["epoch"] = np.full(ds.X_star.shape[0], epoch)
+    logger.append_snapshot(cols)
+
+
+def _crossed(epoch: int, length: int, every: int) -> bool:
+    return every > 0 and (epoch // every) != ((epoch - length) // every)

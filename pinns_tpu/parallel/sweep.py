@@ -71,14 +71,14 @@ def run_sweep(
 ) -> List[SweepResult]:
     """Run every configuration; returns one SweepResult per grid entry.
 
-    Seed-only groups run as a single vmapped ensemble when the optimizer is
-    pure Adam (L-BFGS epochs fall back to per-member runs).
+    Groups whose members differ only along value axes (seed, rho) run as a
+    single vmapped ensemble through the trainer's FULL optimizer schedule —
+    including the reference's hybrid Adam -> L-BFGS switch
+    (``Abgrall_ADMM.py:210-217``), which is what the MPI farm actually swept
+    (``scheduler.py:146-150``). Groups that can't vmap (static-shape axes)
+    run serially, with a visible log line saying so.
     """
-    from pinns_tpu.parallel.ensemble import (
-        evaluate_ensemble,
-        init_ensemble_states,
-        make_ensemble_chunk,
-    )
+    from pinns_tpu.parallel.ensemble import run_ensemble
     from pinns_tpu.train import Trainer
 
     results: List[SweepResult] = []
@@ -101,11 +101,22 @@ def run_sweep(
         use_ensemble = (
             group_seeds
             and len(members) > 1
-            and exp0.optimizer.kind == "adam"
             and all(
                 set(m) & set(_VMAPPABLE) for m in members
             )
         )
+        if len(members) > 1 and not use_ensemble:
+            # no silent caps: say WHY this group degrades to serial runs
+            reason = (
+                "group_seeds=False"
+                if not group_seeds
+                else "some members have no vmappable axis "
+                f"(vmappable: {', '.join(_VMAPPABLE)})"
+            )
+            print(
+                f"sweep: running {len(members)} configs serially — {reason}",
+                flush=True,
+            )
         if use_ensemble:
             t0 = time.time()
             try:
@@ -116,17 +127,9 @@ def run_sweep(
                 rhos = None
                 if any("loss.rho" in m for m in members):
                     rhos = [m.get("loss.rho", exp0.loss.rho) for m in members]
-                stacked = init_ensemble_states(trainer, seeds, rhos=rhos)
-                chunk = min(exp0.train.chunk, n_epochs)
-                runs = {}
-                done = 0
-                while done < n_epochs:
-                    length = min(chunk, n_epochs - done)
-                    if length not in runs:
-                        runs[length] = make_ensemble_chunk(trainer, length)
-                    stacked, _ = runs[length](stacked)
-                    done += length
-                summaries = evaluate_ensemble(trainer, stacked, len(seeds))
+                _, summaries = run_ensemble(
+                    trainer, seeds, rhos=rhos, epochs=n_epochs
+                )
                 dt = time.time() - t0
                 for m, s in zip(members, summaries):
                     emit(SweepResult(m, "ok", s, seconds=dt / len(seeds)))

@@ -57,5 +57,8 @@ def load_checkpoint(path: str, template: Any) -> Any:
 
 
 def load_meta(path: str) -> Dict:
-    with open(path + ".json") as fh:
-        return json.load(fh)
+    try:
+        with open(path + ".json") as fh:
+            return json.load(fh)
+    except FileNotFoundError:  # checkpoints written without a sidecar
+        return {}

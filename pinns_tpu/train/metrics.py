@@ -18,9 +18,15 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, out_dir: Optional[str] = None, name: str = "run"):
+    def __init__(
+        self,
+        out_dir: Optional[str] = None,
+        name: str = "run",
+        console: bool = True,
+    ):
         self.out_dir = out_dir
         self.name = name
+        self.console = console
         self._jsonl = None
         self._snapshot_path = None
         self._snapshot_header_written = False
@@ -33,20 +39,24 @@ class MetricsLogger:
 
     def log(self, **record):
         record.setdefault("time", time.time())
-        msg = (
-            f"It: {record.get('epoch', 0)}, Loss: {record.get('loss', 0):.3e}, "
-            f"r(w) - z: {record.get('admm_misfit', 0):.3f}, "
-            f"Time: {record.get('elapsed', 0):.2f} [{record.get('phase', '')}]"
-        )
-        print(msg, flush=True)
+        if self.console:
+            msg = (
+                f"It: {record.get('epoch', 0)}, "
+                f"Loss: {record.get('loss', 0):.3e}, "
+                f"r(w) - z: {record.get('admm_misfit', 0):.3f}, "
+                f"Time: {record.get('elapsed', 0):.2f} "
+                f"[{record.get('phase', '')}]"
+            )
+            print(msg, flush=True)
         if self._jsonl is not None:
             self._jsonl.write(json.dumps(record) + "\n")
             self._jsonl.flush()
 
     def write_summary(self, summary: Dict):
-        for k, v in summary.items():
-            if k.startswith("rel_l2"):
-                print(f"Error {k[7:]}: {v:e} ({v * 100:.4f} %)", flush=True)
+        if self.console:
+            for k, v in summary.items():
+                if k.startswith("rel_l2"):
+                    print(f"Error {k[7:]}: {v:e} ({v * 100:.4f} %)", flush=True)
         if self._jsonl is not None:
             self._jsonl.write(json.dumps({"summary": summary}) + "\n")
             self._jsonl.flush()

@@ -195,7 +195,11 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     microbatches so activation memory stays at n_f/microbatch scale."""
     exp = problem.exp
     cfg = exp.loss
-    n_f = exp.sampling.n_f
+    # Norm penalties normalize by the ACTUAL residual row count — equal to
+    # sampling.n_f except under 'fixed_lhs_anchored', where the stacked
+    # anchors enlarge the batch; this matches the ADMM threshold convention
+    # (N_r = x_f.shape[0]) used below.
+    n_f = colloc.shape[0]
     m = exp.sampling.microbatch
     rho = cfg.rho if rho is None else rho
 
@@ -490,6 +494,12 @@ def make_chunked(step_fn, chunk: int):
         keys = sorted(metrics)
         if probe_metrics is None:
             probe_metrics = keys
+        elif keys != probe_metrics:  # guard against silent mislabeling if a
+            # retrace ever returned a different metric set
+            raise RuntimeError(
+                f"step metric keys changed between traces: {probe_metrics} "
+                f"-> {keys}"
+            )
         packed = jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
         return state, packed
 
@@ -637,12 +647,12 @@ class Trainer:
                 profiling = False
             epoch += length
             n_chunks += 1
+            # log_every <= 0 means "final chunk only" (cheap default for
+            # tunneled backends where each metrics fetch is a full RPC)
             want_log = (
                 exp.train.stop_tol > 0.0
                 or epoch >= total
-                or exp.train.log_every <= 0
-                or (epoch // exp.train.log_every)
-                != ((epoch - length) // exp.train.log_every)
+                or self._crossed(epoch, length, exp.train.log_every)
             )
             if want_log:
                 last = self._log_chunk(epoch, phase, metrics, time.time() - t0)
@@ -730,9 +740,13 @@ class Trainer:
         ckpt_io.save_checkpoint(path, state, meta={
             "experiment": self.exp.name,
             "epoch": int(state.epoch),
+            # rho-override presence changes the pytree structure; the loader
+            # needs it to build a matching template
+            "rho": None if state.rho is None else float(state.rho),
         })
         return path
 
     def load_checkpoint(self, path: str) -> TrainState:
-        template = self.init_state()
+        rho = ckpt_io.load_meta(path).get("rho")
+        template = self.init_state(rho=rho)
         return ckpt_io.load_checkpoint(path, template)

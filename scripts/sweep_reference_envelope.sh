@@ -10,9 +10,10 @@ set -euo pipefail
 EPOCHS="${EPOCHS:-1000000}"
 OUT="${OUT:-sweep_results.jsonl}"
 
+# The preset's own hybrid Adam->L-BFGS schedule (Abgrall_ADMM.py:210-217)
+# runs as-is — vmapped ensembles support the L-BFGS phase on device.
 python -m pinns_tpu sweep \
     --preset abgrall_admm \
-    --set optimizer.kind=adam \
     --grid data.n_u=100,200,400 \
     --grid sampling.n_f=100,200,500,1000 \
     --epochs "${EPOCHS}" \

@@ -129,3 +129,76 @@ def test_ensemble_rho_sweep_matches_solo():
     np.testing.assert_allclose(
         losses[:, 1], np.asarray(solo_metrics["loss"]), rtol=2e-4, atol=1e-6
     )
+
+
+def test_ensemble_hybrid_matches_solo(tmp_path):
+    """The reference farm's actual payload — the hybrid Adam -> L-BFGS
+    schedule (Abgrall_ADMM.py:210-217) — runs vmapped; member trajectories
+    match solo runs."""
+    from pinns_tpu.parallel.ensemble import run_ensemble
+
+    updates = {
+        "model.layers": (2, 12, 12, 1),
+        "sampling.n_f": 128,
+        "train.epochs": 10,
+        "train.chunk": 6,
+        "optimizer.kind": "hybrid",
+        "optimizer.switch_epoch": 6,
+        "optimizer.lbfgs.max_iters": 15,
+        "train.out_dir": str(tmp_path),
+    }
+    tr = Trainer(_exp(**updates))
+    seeds = [0, 1]
+    stacked, summaries = run_ensemble(tr, seeds)
+    assert len(summaries) == 2
+    assert int(np.asarray(stacked.epoch)[0]) == 10
+
+    # member i == a solo hybrid run with the same seed (vmap only reorders
+    # reductions, so agreement is to tolerance, not bit-exact)
+    for i, seed in enumerate(seeds):
+        solo_tr = Trainer(_exp(**dict(updates, **{"train.out_dir": ""})))
+        solo, solo_summary = solo_tr.train(solo_tr.init_state(seed=seed))
+        np.testing.assert_allclose(
+            summaries[i]["rel_l2_u"], solo_summary["rel_l2_u"],
+            rtol=1e-3, atol=1e-5,
+        )
+        w_ens = np.asarray(
+            jax.tree_util.tree_map(lambda x: x[i], stacked).params["net"][0]["W"]
+        )
+        w_solo = np.asarray(solo.params["net"][0]["W"])
+        # line-search accept/zoom branches amplify vmap's reduction-order
+        # differences, so weights agree loosely while quality agrees tightly
+        np.testing.assert_allclose(w_ens, w_solo, rtol=5e-2, atol=5e-3)
+
+
+def test_run_ensemble_produces_solo_artifact_set(tmp_path):
+    """Ensemble runs emit the same observability artifacts as solo runs:
+    metrics JSONL, snapshot CSVs, and checkpoints — per member."""
+    import json as _json
+
+    from pinns_tpu.parallel.ensemble import run_ensemble
+
+    exp = _exp(**{
+        "sampling.n_f": 128,
+        "train.epochs": 20,
+        "train.chunk": 10,
+        "train.log_every": 10,
+        "train.snapshot_every": 10,
+        "train.checkpoint_every": 20,
+        "train.out_dir": str(tmp_path),
+    })
+    tr = Trainer(exp)
+    run_ensemble(tr, seeds=[0, 1])
+    name = exp.name
+    # member 0 uses the solo run's artifact names; member 1 gets _m1 names
+    assert (tmp_path / f"{name}_metrics.jsonl").exists()
+    assert (tmp_path / f"{name}_m1_metrics.jsonl").exists()
+    assert (tmp_path / f"{name}_snapshots.csv").exists()
+    assert (tmp_path / f"{name}_m1_snapshots.csv").exists()
+    assert (tmp_path / f"{name}_e20_m0.ckpt").exists()
+    assert (tmp_path / f"{name}_final_m1.ckpt").exists()
+    records = [
+        _json.loads(l) for l in open(tmp_path / f"{name}_m1_metrics.jsonl")
+    ]
+    assert any("loss" in r for r in records)
+    assert any("summary" in r for r in records)

@@ -84,3 +84,55 @@ def test_sweep_rho_axis_vmapped():
     assert all(r.status == "ok" for r in results)
     errs = [r.summary["rel_l2_u"] for r in results]
     assert len(set(np.round(errs, 10))) >= 2  # rho actually had an effect
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_sweep_hybrid_schedule_vmapped(monkeypatch):
+    """The reference sweep envelope's ACTUAL schedule — hybrid Adam->L-BFGS
+    (scheduler.py:146-150 sweeping Abgrall_ADMM.py:66-73) — runs as one
+    vmapped group, not serial per-member fallbacks."""
+    import pinns_tpu.parallel.ensemble as ens
+
+    calls = []
+    real = ens.run_ensemble
+
+    def spy(trainer, seeds, **kw):
+        calls.append(list(seeds))
+        return real(trainer, seeds, **kw)
+
+    monkeypatch.setattr(ens, "run_ensemble", spy)
+    base = override(
+        get_preset("abgrall_admm"),
+        {
+            "model.layers": (2, 8, 8, 1),
+            "sampling.n_f": 128,
+            "train.chunk": 5,
+            "optimizer.kind": "hybrid",
+            "optimizer.switch_epoch": 5,
+            "optimizer.lbfgs.max_iters": 10,
+        },
+    )
+    grid = cartesian_grid({"loss.rho": [5.0, 40.0]})
+    results = run_sweep(base, grid, epochs=8)
+    assert all(r.status == "ok" for r in results)
+    assert calls == [[1234, 1234]]  # ONE vmapped group of 2 members
+    errs = [r.summary["rel_l2_u"] for r in results]
+    assert len(set(np.round(errs, 10))) == 2  # rho had an effect
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_sweep_serial_fallback_is_logged(capsys):
+    base = override(
+        get_preset("abgrall_l2"),
+        {
+            "model.layers": (2, 8, 8, 1),
+            "sampling.n_f": 128,
+            "train.chunk": 10,
+            "optimizer.kind": "adam",
+        },
+    )
+    # duplicate configs with no vmappable axis -> serial, visibly
+    results = run_sweep(base, [{}, {}], epochs=10)
+    assert all(r.status == "ok" for r in results)
+    out = capsys.readouterr().out
+    assert "serially" in out

@@ -208,3 +208,43 @@ def test_lr_schedules_run_and_differ():
         runs[sched] = summary["rel_l2_u"]
         assert np.isfinite(summary["rel_l2_u"])
     assert runs["constant"] != runs["cosine"]
+
+
+def test_make_chunked_rejects_changing_metric_keys():
+    """A retrace that returns a different metric set must fail loudly, not
+    silently mislabel the packed metrics."""
+    from pinns_tpu.train.trainer import make_chunked
+
+    traces = []
+
+    def step(state):
+        traces.append(None)
+        key = "a" if len(traces) == 1 else "b"
+        return state + 1, {key: jnp.sum(state)}
+
+    run = make_chunked(step, 2)
+    run(jnp.zeros((4,)))  # first trace: keys == ['a']
+    with pytest.raises(RuntimeError, match="metric keys changed"):
+        run(jnp.zeros((8,)))  # new shape -> retrace -> keys == ['b']
+
+
+def test_checkpoint_roundtrip_with_rho_override(tmp_path):
+    """A state carrying a per-run rho override restores correctly — the
+    template must match the checkpoint's pytree structure."""
+    exp = _small("abgrall_admm", **{
+        "model.layers": (2, 8, 8, 1),
+        "train.epochs": 10,
+        "train.chunk": 5,
+        "train.out_dir": str(tmp_path),
+    })
+    tr = Trainer(exp)
+    state = tr.init_state(rho=25.0)
+    state, _ = tr._get_chunk("adam", 5)(state)
+    path = tr.save_checkpoint(state, tag="rho_test")
+    restored = tr.load_checkpoint(path)
+    assert restored.rho is not None
+    assert float(np.asarray(restored.rho)) == 25.0
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["net"][0]["W"]),
+        np.asarray(state.params["net"][0]["W"]),
+    )
