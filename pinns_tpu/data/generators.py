@@ -266,8 +266,21 @@ def burgers_fv(
 
 
 def two_sin_ic(x: np.ndarray) -> np.ndarray:
-    """A two-mode sine IC of the TwoSin dataset family."""
-    return np.sin(np.pi * x) + 0.5 * np.sin(2.0 * np.pi * x)
+    """The TwoSin dataset's actual IC: two sine periods over [-1, 1].
+
+    Identified against the stored reference grid
+    (``Burgers/Data/TwoSin_burgers_shock.mat``, which ships with no
+    generator): its first column is the inviscid entropy solution of
+    u0 = sin(2*pi*x) at tau = 0.010 (rel-L2 2.5e-3 vs grid-converged Godunov
+    FV), and EVERY later column matches the same evolution at a remapped time
+    tau(k) in [0.010, 0.401] with drifting spacing 0.0037 -> 0.0043 —
+    adaptive-CFL steps subsampled and then labeled t = linspace(0, 1, 101).
+    The stored time axis is therefore NOT physical time; see PARITY.md §2 for
+    the quantitative consequences (no u_t + u*u_x = 0 solution fits the
+    labels better than rel-L2 0.38; an affine clock remap — lambda1 = 0.377
+    — fits to 0.037).
+    """
+    return np.sin(2.0 * np.pi * x)
 
 
 def save_mat(path: str, data: Dict[str, np.ndarray]) -> str:

@@ -655,7 +655,7 @@ class Trainer:
                 or self._crossed(epoch, length, exp.train.log_every)
             )
             if want_log:
-                last = self._log_chunk(epoch, phase, metrics, time.time() - t0)
+                last = self._log_chunk(epoch, phase, metrics, t0)
                 t0 = time.time()
                 if (
                     exp.train.stop_tol > 0.0
@@ -673,7 +673,7 @@ class Trainer:
         return state, summary
 
     # -- reporting --------------------------------------------------------
-    def _log_chunk(self, epoch, phase, metrics, elapsed):
+    def _log_chunk(self, epoch, phase, metrics, t0):
         # ONE device->host transfer: per-leaf fetches cost a full RPC each on
         # tunneled backends (~0.2 s/leaf observed), which would dominate the
         # loop at large chunk rates.
@@ -681,7 +681,9 @@ class Trainer:
         stacked = jnp.stack(
             [metrics[k][-1].astype(jnp.float32) for k in keys]
         )
-        values = np.asarray(stacked)
+        values = np.asarray(stacked)  # blocks until the chunk completes
+        elapsed = time.time() - t0  # measured AFTER the sync, so it reports
+        # device compute, not async dispatch latency
         last = {k: float(v) for k, v in zip(keys, values)}
         self.logger.log(epoch=epoch, phase=phase, elapsed=elapsed, **last)
         return last

@@ -96,3 +96,41 @@ def test_generated_dataset_roundtrip_through_loader(tmp_path):
     ds = load_burgers_mat(path)
     assert ds.fields["u"].shape == (20, 64)
     np.testing.assert_allclose(ds.lb, [-1.0, 0.0], atol=1e-6)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_twosin_oracle_identified_and_time_axis_falsified():
+    """The TwoSin dataset (ships with no generator) is the inviscid entropy
+    solution of u0 = sin(2*pi*x) — but under a NON-physical time axis: the
+    stored labels t = linspace(0,1,101) actually hold snapshots at
+    tau in [0.010, 0.401]. Validated against the in-tree grid-converged
+    Godunov FV solver; see PARITY.md §2."""
+    from scipy.interpolate import interp1d
+    from scipy.io import loadmat
+
+    d = loadmat("/root/reference/Burgers/Data/TwoSin_burgers_shock.mat")
+    x = d["x"].ravel()
+    u = np.real(d["usol"])
+
+    fv = burgers_fv(two_sin_ic, nx=1025, nt=301, t_final=0.45)
+    cols = interp1d(fv["x"].ravel(), fv["usol"], axis=0)(x)  # (513, 301)
+    tf = fv["t"].ravel()
+
+    def best_match(k):
+        diffs = np.linalg.norm(cols - u[:, k : k + 1], axis=0)
+        j = int(np.argmin(diffs))
+        return tf[j], diffs[j] / np.linalg.norm(u[:, k])
+
+    # stored "t=0" column = entropy solution at tau ~ 0.010, NOT the IC
+    tau0, err0 = best_match(0)
+    assert abs(tau0 - 0.010) < 0.003 and err0 < 0.01
+    # post-shock column (label t=0.60) matches at tau ~ 0.235
+    tau60, err60 = best_match(60)
+    assert abs(tau60 - 0.235) < 0.01 and err60 < 0.06
+    # the label-time solution does NOT match: the dataset is inconsistent
+    # with u_t + u*u_x = 0 in its own time coordinates
+    j_label = int(np.argmin(np.abs(tf - 0.30)))
+    err_label = np.linalg.norm(cols[:, j_label] - u[:, 30]) / np.linalg.norm(
+        u[:, 30]
+    )
+    assert err_label > 0.3
