@@ -58,9 +58,18 @@ def multihost_init(
 
     All hosts then see the global device set and run the same SPMD program —
     replacing the reference's SLURM+mpirun launch (``slurm_Abgrall_ADMM:11``).
+    On the CPU backend (tests, ``scripts/multihost_smoke.py``) cross-process
+    collectives run over gloo.
     """
     if num_processes is None or num_processes <= 1:
         return
+    # NOTE: checked via config, not jax.default_backend() — the backend must
+    # not initialize before jax.distributed.initialize.
+    import os
+
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in str(platforms):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
