@@ -84,6 +84,19 @@ def main():
         scale_tr, chunk_len=10, n_chunks=2, n_f=scale.sampling.n_f
     )
 
+    # --- secondary: same scale config under the bf16 mixed policy -----------
+    mixed = override(
+        get_preset("burgers_scale"),
+        {
+            "train.chunk": 10,
+            "model.compute_dtype": "bfloat16",
+            "model.mixed_elementwise": True,
+        },
+    )
+    mixed_pts, _ = _bench_chunk(
+        Trainer(mixed), chunk_len=10, n_chunks=4, n_f=mixed.sampling.n_f
+    )
+
     print(
         json.dumps(
             {
@@ -95,6 +108,7 @@ def main():
                     "steps_per_sec_canonical": round(steps_per_sec, 1),
                     "admm_65k_pts_per_sec": round(big_pts, 1),
                     "scale_1M_pts_per_sec": round(scale_pts, 1),
+                    "scale_1M_mixed_pts_per_sec": round(mixed_pts, 1),
                     "scale_steps_per_sec": round(scale_steps, 2),
                     "device": str(jax.devices()[0]),
                     "cpu_baseline_pts_per_sec": CPU_REFERENCE_PTS_PER_SEC,

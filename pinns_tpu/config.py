@@ -24,6 +24,20 @@ class ModelConfig:
     layers: Tuple[int, ...] = (2, 20, 20, 20, 20, 20, 20, 20, 20, 1)
     precision: str = "highest"  # matmul precision: 'default'|'high'|'highest'
     dtype: str = "float32"
+    # Mixed-precision residual path: derivative streams are stored and
+    # matmul'd in this dtype (e.g. 'bfloat16') with full-precision
+    # accumulation and elementwise ops; master weights, the first layer,
+    # loss reductions, and the data-misfit path stay in `dtype`
+    # (see ops/taylor.py). Empty = no mixing. This is the knob for the
+    # arithmetic-bound million-point configs (BASELINE.md roadmap).
+    compute_dtype: str = ""
+    # Streams exempted from compute_dtype quantization: subset of
+    # ('value', 'xx'). ('value', 'xx') is the measured f32-quality-parity
+    # point; () is fastest.
+    keep_streams: Tuple[str, ...] = ()
+    # Run quantized streams' elementwise ops in compute_dtype too (maximum
+    # throughput; larger quality cost — measured frontier in BASELINE.md).
+    mixed_elementwise: bool = False
     # Run the whole Adam epoch as ONE Pallas kernel (in-kernel AD, Adam,
     # PRNG resampling, ADMM updates — ops/pallas/fused_step.py). Exactness
     # is verified against the XLA step; currently ~1.4x slower than XLA's
@@ -52,6 +66,12 @@ class SamplingConfig:
     #   (Hwan_L2Regularization_Burgers.py:183-184)
     strategy: str = "resample_uniform"
     seed: int = 1234
+    # Time-marching curriculum (beyond-reference): with resample_uniform,
+    # grow the sampled t-range linearly from t_curriculum_floor of the domain
+    # to the full domain over this many epochs (0 = off). Shock problems
+    # benefit from learning the early smooth dynamics first.
+    t_curriculum_epochs: int = 0
+    t_curriculum_floor: float = 0.05
     # Split the collocation batch into this many rematerialized microbatches
     # (lax.scan + jax.checkpoint) so activation memory stays at
     # n_f/microbatch scale — how million-point batches fit in HBM.
@@ -63,6 +83,15 @@ class LossConfig:
     data_kind: str = "mse_sum"  # 'mse_sum' | 'l2_norm'
     residual_kind: str = "admm"  # 'mean_sq'|'l2_sq_norm'|'l1_sq_norm'|'admm'
     rho: float = 10.0  # ADMM penalty (the Euler script calls it `pen`)
+    # Loss-balance knobs (beyond-reference; the reference hardcodes 1.0):
+    # total = data_weight * data + residual_weight * residual. For
+    # residual_kind='admm' use rho to scale the penalty — residual_weight
+    # would silently break the prox/threshold consistency, so it must be 1.
+    data_weight: float = 1.0
+    residual_weight: float = 1.0
+    # Per-field data-term weights for multi-output PDEs (Euler: rho, u, E);
+    # empty = all 1. Lets the misfit balance fields with different scales.
+    data_field_weights: Tuple[float, ...] = ()
     explicit_inner: bool = False  # Hwan ADMM's dual^T r term
     # Where the ADMM z/dual updates evaluate residuals (SURVEY.md hard part
     # #4): 'resampled' reproduces the reference — resample first, then update

@@ -44,9 +44,23 @@ class MLPSpec:
         dimension (x, t), layers[-1] the number of PDE fields.
       lb / ub: domain lower/upper bounds per input dimension; inputs are
         rescaled to [-1, 1] with them.
-      dtype: parameter / compute dtype (jnp.float32 by default).
+      dtype: parameter / accumulation dtype (jnp.float32 by default).
       precision: matmul precision — 'highest' keeps float32 MXU accuracy,
         which the u_xx path requires; 'default' allows bf16 MXU passes.
+      compute_dtype: when set (e.g. jnp.bfloat16), the RESIDUAL path
+        (ops/taylor.py) stores its derivative streams and feeds its matmuls
+        in this dtype while EVERY dot accumulates into `dtype`, elementwise
+        ops run in `dtype`, the first layer consumes exact coordinates, and
+        master weights / loss reductions / mlp_apply stay full-precision —
+        the mixed policy for the arithmetic-bound million-point configs.
+        None means compute == dtype (no mixing).
+      keep_streams: streams exempted from the compute_dtype quantization
+        (stored + matmul'd in full `dtype` at `precision`): subset of
+        {'value', 'xx'}.
+      mixed_elementwise: run the elementwise ops (tanh, product-rule
+        combines) of quantized streams in compute_dtype too — the maximum-
+        throughput mode; off, they run in `dtype` with quantization only at
+        the matmul boundaries. Measured frontier on v5e in BASELINE.md.
     """
 
     layers: tuple
@@ -54,8 +68,17 @@ class MLPSpec:
     ub: tuple
     dtype: Any = jnp.float32
     precision: str = "highest"
+    compute_dtype: Any = None
+    keep_streams: tuple = ()
+    mixed_elementwise: bool = False
 
     def __post_init__(self):
+        if self.compute_dtype is not None:
+            object.__setattr__(self, "compute_dtype", jnp.dtype(self.compute_dtype))
+        object.__setattr__(self, "keep_streams", tuple(self.keep_streams))
+        bad = set(self.keep_streams) - {"value", "xx"}
+        if bad:
+            raise ValueError(f"unknown keep_streams {sorted(bad)}")
         object.__setattr__(self, "layers", tuple(int(w) for w in self.layers))
         object.__setattr__(self, "lb", tuple(float(v) for v in self.lb))
         object.__setattr__(self, "ub", tuple(float(v) for v in self.ub))
@@ -68,6 +91,19 @@ class MLPSpec:
     @property
     def lax_precision(self) -> jax.lax.Precision:
         return _PRECISIONS[self.precision]
+
+    @property
+    def cdtype(self):
+        """Residual-path compute dtype (== dtype unless mixing)."""
+        return (
+            jnp.dtype(self.dtype)
+            if self.compute_dtype is None
+            else jnp.dtype(self.compute_dtype)
+        )
+
+    @property
+    def mixed(self) -> bool:
+        return self.cdtype != jnp.dtype(self.dtype)
 
     @property
     def in_dim(self) -> int:

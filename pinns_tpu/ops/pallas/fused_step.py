@@ -58,10 +58,14 @@ def fused_step_supported(exp, spec: MLPSpec, n_devices: int = 1) -> bool:
         and not exp.pde.train_coeffs
         and exp.sampling.strategy == "resample_uniform"
         and exp.sampling.microbatch <= 1
+        and exp.sampling.t_curriculum_epochs == 0
         and exp.loss.data_kind == "mse_sum"
+        and exp.loss.data_weight == 1.0
+        and exp.loss.residual_weight == 1.0
         # the kernel hardcodes float32 buffers and the reference's
         # 'resampled' ADMM update semantics — other configs take the XLA step
         and spec.dtype == jnp.float32
+        and not spec.mixed
         and exp.loss.admm_update_points == "resampled"
         and n_devices == 1
         and vmem_estimate < 10 * 1024 * 1024

@@ -18,6 +18,24 @@ mixed AD), and it composes with jit / vmap / pjit sharding.
 
 Equivalent nested-jvp formulations live in ``pinns_tpu.ops.derivatives`` and
 are used in tests to cross-validate these closed forms.
+
+Mixed precision (``spec.compute_dtype``, e.g. bfloat16): streams are STORED
+and fed to matmuls in the compute dtype — bf16 matmuls are 6x the MXU rate
+of HIGHEST-precision f32 and halve the stream HBM traffic — but quality
+survives because the error enters ONLY at the per-layer quantization points:
+  1. every dot accumulates into the full-precision dtype
+     (``preferred_element_type``) and all elementwise ops (tanh, the
+     product-rule combines) run full-precision — no compounding roundoff;
+  2. the FIRST layer consumes exact (un-quantized) coordinates — bf16 has
+     only ~3 decimal digits, which would alias collocation points;
+  3. master weights, every loss reduction, and the data-misfit path
+     (``mlp_apply``) never leave the accumulation dtype;
+  4. ``spec.keep_streams`` exempts chosen streams ('value', 'xx') from
+     quantization entirely — the measured parity knob (ablation in
+     BASELINE.md: the value and u_xx streams carry the quality; the first
+     t/x derivative streams tolerate bf16).
+Gradients flow through the casts (their transposes re-cast), so weight
+gradients arrive in the master dtype.
 """
 
 from __future__ import annotations
@@ -27,6 +45,42 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from pinns_tpu.models.mlp import MLPSpec, Params, input_scale, normalize_inputs
+
+
+class _StreamPolicy:
+    """Per-stream mixed-precision policy.
+
+    `store` quantizes a stream at the layer boundary (identity for kept
+    streams / unmixed specs); `dot` runs the matmul in the stream's dtype —
+    quantized streams take single-pass compute-dtype MXU with full-precision
+    accumulation, kept streams take spec.precision in full dtype.
+    """
+
+    def __init__(self, spec: MLPSpec):
+        self.spec = spec
+        self.cdtype = spec.cdtype
+
+    def quantized(self, stream: str) -> bool:
+        return self.spec.mixed and stream not in self.spec.keep_streams
+
+    def store(self, v, stream: str):
+        return v.astype(self.cdtype) if self.quantized(stream) else v
+
+    def act(self, v, stream: str, first: bool = False):
+        """Dot-output dtype for the elementwise stage: compute_dtype in the
+        maximum-throughput mode, accumulation dtype otherwise."""
+        if first or not (self.quantized(stream) and self.spec.mixed_elementwise):
+            return v
+        return v.astype(self.cdtype)
+
+    def dot(self, h, w, stream: str, first: bool = False):
+        if first or not self.quantized(stream):
+            return jnp.dot(h, w, precision=self.spec.lax_precision)
+        return jnp.dot(
+            h,
+            w.astype(self.cdtype),
+            preferred_element_type=self.spec.dtype,
+        )
 
 
 def mlp_taylor_1(
@@ -45,27 +99,30 @@ def mlp_taylor_1(
     """
     if spec.in_dim != 2:
         raise ValueError("mlp_taylor_1 expects in_dim == 2 (x, t)")
-    prec = spec.lax_precision
     scale = input_scale(spec)  # (2,) — chain rule factor of the [-1,1] rescale
+    pol = _StreamPolicy(spec)
 
     h = normalize_inputs(spec, x)
     # Tangent rows: d(normalized input)/dx = [sx, 0], /dt = [0, st].
     hx = jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale
     ht = jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale
 
-    for layer in params[:-1]:
+    for i, layer in enumerate(params[:-1]):
         w, b = layer["W"], layer["b"]
-        p = jnp.dot(h, w, precision=prec) + b
-        px = jnp.dot(hx, w, precision=prec)
-        pt = jnp.dot(ht, w, precision=prec)
+        first = i == 0  # exact coordinates — never quantized
+        p = pol.act(pol.dot(h, w, "value", first) + b, "value", first)
+        px = pol.act(pol.dot(hx, w, "deriv", first), "deriv", first)
+        pt = pol.act(pol.dot(ht, w, "deriv", first), "deriv", first)
         s = jnp.tanh(p)
         sp = 1.0 - s * s
-        h, hx, ht = s, sp * px, sp * pt
+        h = pol.store(s, "value")
+        hx = pol.store(sp * px, "deriv")
+        ht = pol.store(sp * pt, "deriv")
 
     w, b = params[-1]["W"], params[-1]["b"]
-    y = jnp.dot(h, w, precision=prec) + b
-    y_x = jnp.dot(hx, w, precision=prec)
-    y_t = jnp.dot(ht, w, precision=prec)
+    y = pol.dot(h, w, "value") + b
+    y_x = pol.dot(hx, w, "deriv")
+    y_t = pol.dot(ht, w, "deriv")
     return y, y_x, y_t
 
 
@@ -76,7 +133,8 @@ def mlp_taylor_2_stacked(
     stacked along the batch axis so each layer runs ONE (4N, W) matmul
     instead of four (N, W) ones. Pure data movement — identical numerics,
     fully differentiable; whether it wins depends on how well XLA handles
-    the small-matmul shapes (benchmarked on TPU; see BASELINE.md)."""
+    the small-matmul shapes (benchmarked on TPU; see BASELINE.md). Benchmark
+    variant only — runs fully in spec.dtype (no mixed-precision path)."""
     if spec.in_dim != 2:
         raise ValueError("mlp_taylor_2_stacked expects in_dim == 2 (x, t)")
     prec = spec.lax_precision
@@ -122,31 +180,38 @@ def mlp_taylor_2(
     """
     if spec.in_dim != 2:
         raise ValueError("mlp_taylor_2 expects in_dim == 2 (x, t)")
-    prec = spec.lax_precision
     scale = input_scale(spec)
+    pol = _StreamPolicy(spec)
 
     h = normalize_inputs(spec, x)
     hx = jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale
     ht = jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale
     hxx = None  # identically zero at the input (affine rescale)
 
-    for layer in params[:-1]:
+    for i, layer in enumerate(params[:-1]):
         w, b = layer["W"], layer["b"]
-        p = jnp.dot(h, w, precision=prec) + b
-        px = jnp.dot(hx, w, precision=prec)
-        pt = jnp.dot(ht, w, precision=prec)
-        pxx = None if hxx is None else jnp.dot(hxx, w, precision=prec)
+        first = i == 0  # exact coordinates — never quantized
+        p = pol.act(pol.dot(h, w, "value", first) + b, "value", first)
+        px = pol.act(pol.dot(hx, w, "deriv", first), "deriv", first)
+        pt = pol.act(pol.dot(ht, w, "deriv", first), "deriv", first)
+        pxx = (
+            None
+            if hxx is None
+            else pol.act(pol.dot(hxx, w, "xx", first), "xx", first)
+        )
         s = jnp.tanh(p)
         sp = 1.0 - s * s
         spp = -2.0 * s * sp
-        h = s
-        hxx = spp * px * px if pxx is None else spp * px * px + sp * pxx
-        hx = sp * px
-        ht = sp * pt
+        h = pol.store(s, "value")
+        hxx = pol.store(
+            spp * px * px if pxx is None else spp * px * px + sp * pxx, "xx"
+        )
+        hx = pol.store(sp * px, "deriv")
+        ht = pol.store(sp * pt, "deriv")
 
     w, b = params[-1]["W"], params[-1]["b"]
-    y = jnp.dot(h, w, precision=prec) + b
-    y_x = jnp.dot(hx, w, precision=prec)
-    y_t = jnp.dot(ht, w, precision=prec)
-    y_xx = jnp.dot(hxx, w, precision=prec)
+    y = pol.dot(h, w, "value") + b
+    y_x = pol.dot(hx, w, "deriv")
+    y_t = pol.dot(ht, w, "deriv")
+    y_xx = pol.dot(hxx, w, "xx")
     return y, y_x, y_t, y_xx

@@ -159,6 +159,9 @@ def build_problem(exp: Experiment) -> Problem:
         ub=tuple(float(v) for v in ds.ub),
         dtype=dtype,
         precision=exp.model.precision,
+        compute_dtype=exp.model.compute_dtype or None,
+        keep_streams=exp.model.keep_streams,
+        mixed_elementwise=exp.model.mixed_elementwise,
     )
     return Problem(
         exp=exp,
@@ -169,11 +172,43 @@ def build_problem(exp: Experiment) -> Problem:
     )
 
 
+def _curriculum_bounds(problem: Problem, epoch):
+    """(lb, ub) with the time-marching curriculum applied: the sampled
+    t-range grows linearly to the full domain over t_curriculum_epochs."""
+    cfg = problem.exp.sampling
+    lb = jnp.asarray(problem.lb, problem.spec.dtype)
+    ub = jnp.asarray(problem.ub, problem.spec.dtype)
+    if cfg.t_curriculum_epochs <= 0:
+        return lb, ub
+    frac = jnp.clip(
+        (jnp.asarray(epoch, problem.spec.dtype) + 1.0)
+        / cfg.t_curriculum_epochs,
+        cfg.t_curriculum_floor,
+        1.0,
+    )
+    return lb, ub.at[1].set(lb[1] + (ub[1] - lb[1]) * frac)
+
+
+def _resample(problem: Problem, key: jax.Array, epoch) -> jnp.ndarray:
+    """Fresh uniform collocation batch (curriculum-aware, sharded layout)."""
+    lb, ub = _curriculum_bounds(problem, epoch)
+    colloc = uniform_box(
+        key, problem.exp.sampling.n_f, lb, ub, problem.spec.dtype
+    )
+    if problem.colloc_sharding is not None:
+        colloc = jax.lax.with_sharding_constraint(
+            colloc, problem.colloc_sharding
+        )
+    return colloc
+
+
 def init_collocation(problem: Problem, key: jax.Array) -> jnp.ndarray:
     """Initial collocation set per the configured strategy."""
     exp = problem.exp
     n_f, strategy = exp.sampling.n_f, exp.sampling.strategy
-    if strategy in ("resample_uniform", "fixed_uniform"):
+    if strategy == "resample_uniform":
+        return _resample(problem, key, 0)
+    if strategy == "fixed_uniform":
         return uniform_box(key, n_f, problem.lb, problem.ub, problem.spec.dtype)
     if strategy == "fixed_lhs":
         unit = latin_hypercube(key, n_f, 2, problem.spec.dtype)
@@ -270,6 +305,17 @@ def make_loss_fn(problem: Problem):
     spec = problem.spec
     n_u = exp.data.n_u
     loss_cfg = exp.loss
+    if loss_cfg.residual_weight != 1.0 and loss_cfg.residual_kind == "admm":
+        raise ValueError(
+            "residual_weight must be 1 with residual_kind='admm' — scale the "
+            "penalty with loss.rho instead (the prox threshold tracks rho)"
+        )
+    field_w = loss_cfg.data_field_weights
+    if field_w and len(field_w) != len(EULER_FIELDS):
+        raise ValueError(
+            f"data_field_weights needs {len(EULER_FIELDS)} entries, "
+            f"got {len(field_w)}"
+        )
 
     def loss_fn(params, colloc, admm_state, rho=None):
         if exp.pde.kind == "burgers":
@@ -283,7 +329,8 @@ def make_loss_fn(problem: Problem):
             lam2 = jnp.zeros((1,), spec.dtype)
             y = mlp_apply(spec, params["net"], problem.x_data)
             data_term = sum(
-                data_misfit(
+                (field_w[i] if field_w else 1.0)
+                * data_misfit(
                     y[:, i : i + 1],
                     problem.targets[name],
                     loss_cfg.data_kind,
@@ -293,7 +340,9 @@ def make_loss_fn(problem: Problem):
             )
 
         res_term = _residual_term(problem, params, colloc, admm_state, rho)
-        loss = data_term + res_term
+        loss = loss_cfg.data_weight * data_term + (
+            loss_cfg.residual_weight * res_term
+        )
         aux = {
             "loss": loss,
             "data_term": data_term,
@@ -306,7 +355,9 @@ def make_loss_fn(problem: Problem):
     return loss_fn
 
 
-def _post_update_current(problem: Problem, params, admm_state, colloc, key, rho):
+def _post_update_current(
+    problem: Problem, params, admm_state, colloc, key, rho, epoch=0
+):
     """'current'-points ADMM tail: z/dual update at the batch the weight step
     saw (textbook splitting; one residual evaluation per step), THEN resample
     for the next step."""
@@ -317,28 +368,18 @@ def _post_update_current(problem: Problem, params, admm_state, colloc, key, rho)
     mis = admm_misfit(f_cur, admm_state)
     if exp.sampling.strategy == "resample_uniform":
         key, sub = jax.random.split(key)
-        colloc = uniform_box(
-            sub, exp.sampling.n_f, problem.lb, problem.ub, problem.spec.dtype
-        )
-        if problem.colloc_sharding is not None:
-            colloc = jax.lax.with_sharding_constraint(
-                colloc, problem.colloc_sharding
-            )
+        colloc = _resample(problem, sub, epoch)
     return admm_state, colloc, key, mis
 
 
-def _post_update(problem: Problem, params, admm_state, colloc, key, rho=None):
+def _post_update(
+    problem: Problem, params, admm_state, colloc, key, rho=None, epoch=0
+):
     """Shared tail of every step: resample, then ADMM updates at new points."""
     exp = problem.exp
     if exp.sampling.strategy == "resample_uniform":
         key, sub = jax.random.split(key)
-        colloc = uniform_box(
-            sub, exp.sampling.n_f, problem.lb, problem.ub, problem.spec.dtype
-        )
-        if problem.colloc_sharding is not None:
-            colloc = jax.lax.with_sharding_constraint(
-                colloc, problem.colloc_sharding
-            )
+        colloc = _resample(problem, sub, epoch)
     mis = jnp.zeros((), problem.spec.dtype)
     if exp.loss.residual_kind == "admm":
         rho_val = exp.loss.rho if rho is None else rho
@@ -372,7 +413,8 @@ def make_adam_step(problem: Problem, optimizer):
             else _post_update
         )
         admm_state, colloc, key, mis = tail(
-            problem, params, state.admm, state.colloc, state.key, state.rho
+            problem, params, state.admm, state.colloc, state.key, state.rho,
+            state.epoch,
         )
         metrics = dict(aux, admm_misfit=mis, lbfgs_iters=jnp.zeros((), jnp.int32))
         return (
@@ -422,9 +464,11 @@ def make_lbfgs_step(problem: Problem):
                 problem.exp.data.n_u,
             )
         else:
+            fw = problem.exp.loss.data_field_weights
             y = mlp_apply(problem.spec, params["net"], problem.x_data)
             data_term = sum(
-                data_misfit(
+                (fw[i] if fw else 1.0)
+                * data_misfit(
                     y[:, i : i + 1], problem.targets[name],
                     problem.exp.loss.data_kind, problem.exp.data.n_u,
                 )
@@ -433,12 +477,13 @@ def make_lbfgs_step(problem: Problem):
         aux = {
             "loss": res.f,
             "data_term": data_term,
-            "res_term": res.f - data_term,
+            "res_term": res.f - problem.exp.loss.data_weight * data_term,
             "lambda1": jnp.reshape(lam1, ()),
             "lambda2": jnp.reshape(lam2, ()),
         }
         admm_state, colloc, key, mis = _post_update(
-            problem, params, state.admm, state.colloc, state.key, state.rho
+            problem, params, state.admm, state.colloc, state.key, state.rho,
+            state.epoch,
         )
         metrics = dict(aux, admm_misfit=mis, lbfgs_iters=res.n_iters)
         return (

@@ -119,3 +119,64 @@ def test_taylor2_stacked_matches():
         jax.grad(lambda p: loss(mlp_taylor_2_stacked, p))(params)
     )
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3, atol=1e-6)
+
+
+def test_taylor_mixed_bf16_close_to_f32_and_grads_stay_f32():
+    """The mixed policy (bf16 hidden/derivative streams, f32 first layer +
+    head accumulation) tracks the f32 pass to bf16-roundoff, and weight
+    gradients arrive in the master dtype."""
+    import dataclasses
+
+    spec32 = MLPSpec(layers=(2, 32, 32, 32, 1), lb=(-1.0, 0.0), ub=(1.0, 1.0))
+    specmx = dataclasses.replace(spec32, compute_dtype=jnp.bfloat16)
+    assert specmx.mixed and not spec32.mixed
+    params = init_mlp(jax.random.key(7), spec32)
+    x = _points(jax.random.key(8), spec32, n=256)
+
+    ref = mlp_taylor_2(spec32, params, x)
+    mix = mlp_taylor_2(specmx, params, x)
+    for r, m, tol in zip(ref, mix, (2e-2, 5e-2, 5e-2, 2e-1)):
+        assert m.dtype == jnp.float32  # head accumulates into master dtype
+        scale = float(jnp.max(jnp.abs(r))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(m) / scale, np.asarray(r) / scale, atol=tol
+        )
+
+    def loss(p):
+        y, yx, yt, yxx = mlp_taylor_2(specmx, p, x)
+        f = yt + y * yx - 0.01 * yxx
+        return jnp.mean(f.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    g32 = jax.grad(
+        lambda p: jnp.mean(
+            (lambda o: o[2] + o[0] * o[1] - 0.01 * o[3])(
+                mlp_taylor_2(spec32, p, x)
+            )
+            ** 2
+        )
+    )(params)
+    flat_m = jax.flatten_util.ravel_pytree(g)[0]
+    flat_r = jax.flatten_util.ravel_pytree(g32)[0]
+    cos = jnp.vdot(flat_m, flat_r) / (
+        jnp.linalg.norm(flat_m) * jnp.linalg.norm(flat_r) + 1e-12
+    )
+    assert float(cos) > 0.98  # gradient direction preserved
+
+
+def test_taylor1_mixed_bf16():
+    import dataclasses
+
+    specmx = dataclasses.replace(SPEC1, compute_dtype=jnp.bfloat16)
+    params = init_mlp(jax.random.key(0), SPEC1)
+    x = _points(jax.random.key(1), SPEC1)
+    ref = mlp_taylor_1(SPEC1, params, x)
+    mix = mlp_taylor_1(specmx, params, x)
+    for r, m in zip(ref, mix):
+        assert m.dtype == jnp.float32
+        scale = float(jnp.max(jnp.abs(r))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(m) / scale, np.asarray(r) / scale, atol=5e-2
+        )

@@ -248,3 +248,94 @@ def test_checkpoint_roundtrip_with_rho_override(tmp_path):
         np.asarray(restored.params["net"][0]["W"]),
         np.asarray(state.params["net"][0]["W"]),
     )
+
+
+def test_mixed_precision_training_runs_and_learns():
+    """compute_dtype='bfloat16' trains with f32 master weights; loss
+    decreases and the state stays f32 end to end."""
+    exp = _small("burgers_forward", **{
+        "model.layers": (2, 16, 16, 16, 1),
+        "model.compute_dtype": "bfloat16",
+        "train.epochs": 400,
+        "train.chunk": 200,
+        "sampling.n_f": 512,
+    })
+    tr = Trainer(exp)
+    assert tr.problem.spec.mixed
+    state = tr.init_state()
+    run = tr._get_chunk("adam", 200)
+    state, m1 = run(state)
+    state, m2 = run(state)
+    l0 = float(np.asarray(m1["loss"][0]))
+    l1 = float(np.asarray(m2["loss"][-1]))
+    assert np.isfinite(l1) and l1 < 0.5 * l0
+    assert state.params["net"][0]["W"].dtype == jnp.float32
+
+
+def test_loss_weights_and_field_weights():
+    """data_weight / residual_weight / per-field weights reshape the loss;
+    residual_weight is rejected with ADMM (rho owns that scale)."""
+    from pinns_tpu.train.trainer import make_loss_fn
+
+    exp = _small("abgrall_l2", **{
+        "model.layers": (2, 8, 8, 1),
+        "sampling.n_f": 64,
+        "loss.data_weight": 10.0,
+        "loss.residual_weight": 0.5,
+    })
+    tr = Trainer(exp)
+    state = tr.init_state()
+    loss_fn = make_loss_fn(tr.problem)
+    loss, aux = loss_fn(state.params, state.colloc, state.admm)
+    np.testing.assert_allclose(
+        float(loss),
+        10.0 * float(aux["data_term"]) + 0.5 * float(aux["res_term"]),
+        rtol=1e-6,
+    )
+
+    with pytest.raises(ValueError, match="rho"):
+        bad = _small("abgrall_admm", **{"loss.residual_weight": 2.0})
+        make_loss_fn(Trainer(bad).problem)
+
+    # Euler per-field weights change the data term
+    e1 = _small("euler_admm", **{"sampling.n_f": 64, "train.epochs": 2})
+    e2 = _small("euler_admm", **{
+        "sampling.n_f": 64, "train.epochs": 2,
+        "loss.data_field_weights": (5.0, 1.0, 1.0),
+    })
+    t1, t2 = Trainer(e1), Trainer(e2)
+    s1 = t1.init_state()
+    l1 = make_loss_fn(t1.problem)(s1.params, s1.colloc, s1.admm)[1]
+    l2 = make_loss_fn(t2.problem)(s1.params, s1.colloc, s1.admm)[1]
+    assert float(l2["data_term"]) > float(l1["data_term"])
+
+    with pytest.raises(ValueError, match="entries"):
+        bad = _small("euler_admm", **{"loss.data_field_weights": (1.0, 2.0)})
+        make_loss_fn(Trainer(bad).problem)
+
+
+def test_time_curriculum_grows_sampled_range():
+    """With t_curriculum_epochs set, early batches sample a shrunken t-range
+    that grows to the full domain."""
+    exp = _small("abgrall_admm", **{
+        "model.layers": (2, 8, 8, 1),
+        "sampling.n_f": 512,
+        "sampling.t_curriculum_epochs": 100,
+        "train.epochs": 10,
+        "train.chunk": 5,
+    })
+    tr = Trainer(exp)
+    state = tr.init_state()
+    t_hi = float(tr.problem.ub[1])
+    t_lo = float(tr.problem.lb[1])
+    # initial batch: ~5% of the t-range (the curriculum floor)
+    t0_max = float(np.asarray(state.colloc[:, 1]).max())
+    assert t0_max < t_lo + 0.12 * (t_hi - t_lo)
+    run = tr._get_chunk("adam", 5)
+    state, _ = run(state)
+    assert np.isfinite(float(np.asarray(state.colloc).max()))
+    # after many epochs the range opens up
+    state = state._replace(epoch=jnp.asarray(99, jnp.int32))
+    state, _ = run(state)
+    t_late_max = float(np.asarray(state.colloc[:, 1]).max())
+    assert t_late_max > t_lo + 0.9 * (t_hi - t_lo)
