@@ -15,6 +15,7 @@ reference only gestures at.
 | burgers_admm_batch    | Burgers/continuous_identification/Burgers_ADMM_batch.py:30-32,95,118-119,244-246 |
 | burgers_batch_l1sq    | Burgers/continuous_identification/Burgers_batch_L2.py:30-32,57-58,90,202-204 (filename says L2; the loss is squared-L1) |
 | euler_admm            | Eulers/continuous_inference/Euler_ADMM.py:29-34,128-141,279-281 |
+| euler_admm_tuned      | euler_admm + the round-2 study's winning levers (PARITY §4c) |
 | burgers_forward       | canonical Raissi forward problem (burgers_shock.mat, nu=0.01/pi) |
 | burgers_inverse       | identification: trainable lambda1/lambda2 from interior data |
 | burgers_scale         | 1M collocation points, data-parallel mesh (BASELINE.json config) |
@@ -135,6 +136,27 @@ PRESETS = {
         # chunk 250: the 5x200-wide step's 1000-step scan tickles a
         # pathological compile on some toolchains; 250 compiles fast
         train=TrainConfig(epochs=100_000, chunk=250),
+    ),
+    "euler_admm_tuned": _exp(
+        # best known recipe from the round-2 lever study
+        # (benchmarks/euler_quality_study.py + euler_stage3.py, PARITY §4c):
+        # rho-weighted data loss + time-marching curriculum at the 1M-epoch
+        # envelope scores rho 0.060 / u 0.213 / E 0.050 vs the reference
+        # config's 0.152 / 0.234 / 0.068 (Euler_ADMM.py:29-34 config).
+        name="euler_admm_tuned",
+        model=ModelConfig(layers=EULER_TRUNK),
+        pde=PDEConfig(kind="euler", gamma=1.4),
+        sampling=SamplingConfig(
+            n_f=1000, strategy="resample_uniform",
+            t_curriculum_epochs=100_000,
+        ),
+        loss=LossConfig(
+            data_kind="mse_sum", residual_kind="admm", rho=40.0,
+            data_field_weights=(3.0, 1.0, 1.0),
+        ),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="abgrall_eulers", n_u=200),
+        train=TrainConfig(epochs=1_000_000, chunk=250),
     ),
     # --- framework-native presets ----------------------------------------
     "burgers_forward": _exp(

@@ -58,6 +58,23 @@ def test_euler_admm_short_training():
         assert np.isfinite(summary[f"rel_l2_{f}"])
 
 
+def test_euler_admm_tuned_preset_short_training():
+    """The round-2 study's winning recipe (field weights + curriculum)
+    trains end-to-end as shipped."""
+    exp = _small(
+        "euler_admm_tuned",
+        **{
+            "model.layers": (2, 24, 24, 3),
+            "sampling.t_curriculum_epochs": 200,
+        },
+    )
+    assert exp.loss.data_field_weights == (3.0, 1.0, 1.0)
+    tr = Trainer(exp)
+    state, summary = tr.train(tr.init_state())
+    for f in ("rho", "u", "E"):
+        assert np.isfinite(summary[f"rel_l2_{f}"])
+
+
 def test_hybrid_switch_runs_lbfgs_phase():
     exp = _small(
         "abgrall_admm",
