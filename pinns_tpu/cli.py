@@ -229,7 +229,6 @@ def cmd_polish(args):
     exp = override(_build_exp(args), {
         "model.dtype": "float64",
         "model.precision": "highest",
-        "model.fused_step": False,
     })
     trainer = Trainer(exp)
     state = trainer.load_checkpoint(args.checkpoint)

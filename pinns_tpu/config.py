@@ -38,11 +38,6 @@ class ModelConfig:
     # Run quantized streams' elementwise ops in compute_dtype too (maximum
     # throughput; larger quality cost — measured frontier in BASELINE.md).
     mixed_elementwise: bool = False
-    # Run the whole Adam epoch as ONE Pallas kernel (in-kernel AD, Adam,
-    # PRNG resampling, ADMM updates — ops/pallas/fused_step.py). Exactness
-    # is verified against the XLA step; currently ~1.4x slower than XLA's
-    # fused scan on v5e, so off by default. Falls back when unsupported.
-    fused_step: bool = False
 
 
 @_frozen

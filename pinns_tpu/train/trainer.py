@@ -642,19 +642,6 @@ class Trainer:
         key = (phase, length)
         if key not in self._chunks:
             step = self._adam_step if phase == "adam" else self._lbfgs_step
-            if phase == "adam" and self.exp.model.fused_step:
-                from pinns_tpu.ops.pallas.fused_step import (
-                    fused_step_supported,
-                    make_fused_adam_step,
-                )
-
-                sharded = self.problem.colloc_sharding is not None
-                if not sharded and fused_step_supported(
-                    self.exp, self.problem.spec
-                ):
-                    step = make_fused_adam_step(
-                        self.problem, self.exp.optimizer.learning_rate
-                    )
             self._chunks[key] = make_chunked(step, length)
         return self._chunks[key]
 

@@ -78,27 +78,7 @@ def test_multi_output_taylor_kernel():
         )
 
 
-def test_fused_step_eligibility():
-    """Static support gate for the single-kernel train step."""
-    from pinns_tpu.config import override
-    from pinns_tpu.experiments import get_preset
-    from pinns_tpu.ops.pallas.fused_step import fused_step_supported
-    from pinns_tpu.train.trainer import build_problem
-
-    exp = override(get_preset("abgrall_admm"), {"optimizer.kind": "adam"})
-    try:
-        problem = build_problem(exp)
-    except FileNotFoundError:
-        pytest.skip("reference data not mounted")
-    assert fused_step_supported(exp, problem.spec)
-    # unsupported cases fall back
-    assert not fused_step_supported(
-        override(exp, {"sampling.strategy": "fixed_lhs"}), problem.spec
-    )
-    assert not fused_step_supported(
-        override(exp, {"pde.kind": "euler"}), problem.spec
-    )
-    assert not fused_step_supported(
-        override(exp, {"sampling.n_f": 1_000_000}), problem.spec
-    )
-    assert not fused_step_supported(exp, problem.spec, n_devices=8)
+# NOTE: the whole-train-step / whole-chunk Pallas kernel experiment
+# (fused_step.py) was removed after a definitive negative result — see
+# "Retired experiment" in BASELINE.md (XLA's fused scan wins even against a
+# one-launch-per-1000-epochs kernel, 83.6 vs 107.0 us/step on v5e).
