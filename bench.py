@@ -72,9 +72,11 @@ def main():
     )
 
     # --- secondary: batch-scaled narrow config (throughput knee ~65k pts) ---
+    # chunk 250: long enough for auto scan-unroll (>= 200), short enough for
+    # the remote-compile path (1000-step chunks at this n_f compile slowly)
     big = override(get_preset("abgrall_admm"), {"sampling.n_f": 65536})
     big_pts, _ = _bench_chunk(
-        Trainer(big), chunk_len=100, n_chunks=30, n_f=65536
+        Trainer(big), chunk_len=250, n_chunks=12, n_f=65536
     )
 
     # --- secondary: 1M-point scale config -----------------------------------

@@ -142,6 +142,16 @@ class MeshConfig:
 class TrainConfig:
     epochs: int = 100_000
     chunk: int = 1000  # steps fused into one lax.scan device call
+    # lax.scan unroll factor for the Adam chunk: the canonical small-net
+    # step is op-issue-bound (~347 device ops of ~60-400 ns each; 87 of them
+    # are loop-boundary buffer copies) — unrolling lets XLA fuse across
+    # steps and delete most per-iteration copies. Measured frontier on v5e
+    # (canonical config): 1 -> 76.4 us/step, 8 -> 56.6, 16 -> 55.3,
+    # 32 -> 74.7 (program blowup). 0 = auto: 8 for narrow nets (width <=
+    # 64) on Adam chunks of production length (>= 200 steps); 1 otherwise
+    # (wide nets are compute-bound, and unrolling short chunks only grows
+    # compile time — it also risks the pathological wide-net remote compile).
+    scan_unroll: int = 0
     log_every: int = 1000  # metrics-log cadence in epochs; <= 0 = final only
     snapshot_every: int = 0  # full-grid prediction snapshots; 0 = off
     checkpoint_every: int = 0  # 0 = only final

@@ -35,6 +35,7 @@ from pinns_tpu.train.trainer import (
     TrainState,
     make_adam_step,
     make_lbfgs_step,
+    resolve_scan_unroll,
 )
 
 
@@ -96,7 +97,12 @@ def make_ensemble_chunk(trainer, chunk: int, phase: str = "adam"):
         return state, packed
 
     def run(state):
-        state, packed = jax.lax.scan(chunk_fn, state, None, length=chunk)
+        # vmapped narrow-net steps are still op-issue-bound; wide nets are
+        # compute-bound — same policy as the solo path
+        unroll = resolve_scan_unroll(trainer.exp, phase, chunk)
+        state, packed = jax.lax.scan(
+            chunk_fn, state, None, length=chunk, unroll=unroll,
+        )
         return state, {
             k: packed[:, i] for i, k in enumerate(probe_keys)
         }

@@ -521,7 +521,22 @@ def _make_optimizer(cfg):
     return optax.adam(lr)
 
 
-def make_chunked(step_fn, chunk: int):
+def resolve_scan_unroll(exp, phase: str, length: int) -> int:
+    """Resolve TrainConfig.scan_unroll (0 = auto) for one chunk program.
+
+    Auto unrolls only narrow-net Adam chunks of production length: narrow
+    steps are op-issue-bound (see TrainConfig.scan_unroll), but unrolling
+    multiplies the scan body ~8x at trace/compile time, so short chunks
+    (tests, tails) keep unroll=1 — their cost is compile, not issue.
+    """
+    unroll = exp.train.scan_unroll
+    if unroll == 0:
+        narrow = max(exp.model.layers) <= 64
+        unroll = 8 if narrow and phase == "adam" and length >= 200 else 1
+    return max(1, min(unroll, length))
+
+
+def make_chunked(step_fn, chunk: int, unroll: int = 1):
     """scan `chunk` steps into one device call; returns (state, stacked metrics).
 
     The input state is donated — the step rewrites every leaf, so XLA updates
@@ -549,7 +564,10 @@ def make_chunked(step_fn, chunk: int):
         return state, packed
 
     def run(state):
-        state, packed = jax.lax.scan(chunk_fn, state, None, length=chunk)
+        state, packed = jax.lax.scan(
+            chunk_fn, state, None, length=chunk,
+            unroll=min(unroll, chunk) if unroll > 1 else 1,
+        )
         return state, {k: packed[:, i] for i, k in enumerate(probe_metrics)}
 
     return jax.jit(run, donate_argnums=0)
@@ -642,7 +660,8 @@ class Trainer:
         key = (phase, length)
         if key not in self._chunks:
             step = self._adam_step if phase == "adam" else self._lbfgs_step
-            self._chunks[key] = make_chunked(step, length)
+            unroll = resolve_scan_unroll(self.exp, phase, length)
+            self._chunks[key] = make_chunked(step, length, unroll=unroll)
         return self._chunks[key]
 
     def train(

@@ -356,3 +356,33 @@ def test_time_curriculum_grows_sampled_range():
     state, _ = run(state)
     t_late_max = float(np.asarray(state.colloc[:, 1]).max())
     assert t_late_max > t_lo + 0.9 * (t_hi - t_lo)
+
+
+def test_scan_unroll_matches_unrolled_trajectory():
+    """unroll>1 is a pure XLA scheduling change: the chunk must produce the
+    same trajectory (to float tolerance) and identical metrics layout."""
+    import jax
+
+    def run_with(unroll):
+        exp = _small("abgrall_admm", **{
+            "model.layers": (2, 8, 8, 1),
+            "sampling.n_f": 128,
+            "train.epochs": 24,
+            "train.chunk": 12,
+            "train.scan_unroll": unroll,
+        })
+        tr = Trainer(exp)
+        state = tr.init_state()
+        run = tr._get_chunk("adam", 12)
+        state, metrics = run(state)
+        state, metrics = run(state)
+        return state, metrics
+
+    s1, m1 = run_with(1)
+    s4, m4 = run_with(4)
+    assert set(m1) == set(m4)
+    assert m1["loss"].shape == m4["loss"].shape
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
