@@ -87,6 +87,23 @@ class LossConfig:
     # Per-field data-term weights for multi-output PDEs (Euler: rho, u, E);
     # empty = all 1. Lets the misfit balance fields with different scales.
     data_field_weights: Tuple[float, ...] = ()
+    # Shock-capture formulation knobs (beyond-reference; the reference's
+    # L1/ADMM study is motivated by shocks, where the strong-form residual
+    # blows up and dominates the loss):
+    # grad_weight_kappa > 0 reweights the residual FIELD per point by
+    # w = 1/(1 + kappa * s^2), s = u_x (Burgers) or |(rho_x, u_x)| (Euler) —
+    # the gradient-weighted PINN of Mao et al. (CMAME 2020). Applied inside
+    # the residual operator, so every residual kind (mean_sq / l1_sq / ADMM
+    # penalty AND its z/dual prox updates) consistently regularizes the
+    # weighted field w*f; the indicator is stop-gradiented so the weights
+    # steer, not train.
+    grad_weight_kappa: float = 0.0
+    # entropy_weight > 0 adds mean(relu(U_t + F_x)^2) for the Burgers entropy
+    # pair U = u^2/2, F = lambda1 u^3/3 - the pointwise entropy-admissibility
+    # penalty (entropy production must be <= 0 for inviscid weak solutions);
+    # selects the entropy solution among weak solutions the residual alone
+    # cannot distinguish. Burgers only.
+    entropy_weight: float = 0.0
     explicit_inner: bool = False  # Hwan ADMM's dual^T r term
     # Where the ADMM z/dual updates evaluate residuals (SURVEY.md hard part
     # #4): 'resampled' reproduces the reference — resample first, then update

@@ -46,9 +46,26 @@ def burgers_residual(
     Returns:
       (u, f): network value and PDE residual, each (N, 1).
     """
+    u, f, _, _ = burgers_residual_aux(spec, params, x, lambda1, lambda2)
+    return u, f
+
+
+def burgers_residual_aux(
+    spec: MLPSpec,
+    params: Params,
+    x: jnp.ndarray,
+    lambda1,
+    lambda2,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Burgers residual plus the first derivatives it is built from.
+
+    Returns (u, f, u_x, u_t) — the extras feed shock-capture terms
+    (gradient weighting, entropy-admissibility; LossConfig) without a second
+    Taylor pass.
+    """
     u, u_x, u_t, u_xx = mlp_taylor_2(spec, params, x)
     f = u_t + lambda1 * u * u_x - lambda2 * u_xx
-    return u, f
+    return u, f, u_x, u_t
 
 
 def euler_residuals(
@@ -66,6 +83,19 @@ def euler_residuals(
     Returns:
       ((rho, u, E), (f1, f2, f3)), each entry (N, 1).
     """
+    fields, residuals, _ = euler_residuals_aux(spec, params, x, gamma)
+    return fields, residuals
+
+
+def euler_residuals_aux(
+    spec: MLPSpec,
+    params: Params,
+    x: jnp.ndarray,
+    gamma: float = 1.4,
+):
+    """Euler residuals plus the spatial gradients (rho_x, u_x) they are
+    built from — the shock/contact indicator for gradient weighting
+    (LossConfig.grad_weight_kappa)."""
     y, y_x, y_t = mlp_taylor_1(spec, params, x)
     rho, u, e = y[:, 0:1], y[:, 1:2], y[:, 2:3]
     rho_x, u_x, e_x = y_x[:, 0:1], y_x[:, 1:2], y_x[:, 2:3]
@@ -77,7 +107,7 @@ def euler_residuals(
     f1 = rho_t + (rho_x * u + rho * u_x)
     f2 = (rho_t * u + rho * u_t) + (rho_x * u * u + 2.0 * rho * u * u_x) + p_x
     f3 = e_t + (u_x * e + u * e_x) + (u_x * p + u * p_x)
-    return (rho, u, e), (f1, f2, f3)
+    return (rho, u, e), (f1, f2, f3), (rho_x, u_x)
 
 
 def euler_pressure(rho, u, e, gamma: float = 1.4):

@@ -55,7 +55,10 @@ from pinns_tpu.losses.admm import (
 from pinns_tpu.losses.misfit import data_misfit, residual_penalty
 from pinns_tpu.models.mlp import MLPSpec, init_mlp, mlp_apply
 from pinns_tpu.opt.lbfgs import lbfgs_minimize
-from pinns_tpu.ops.residuals import burgers_residual, euler_residuals
+from pinns_tpu.ops.residuals import (
+    burgers_residual_aux,
+    euler_residuals_aux,
+)
 from pinns_tpu.train import checkpoint as ckpt_io
 from pinns_tpu.train.evaluate import predict_fields, relative_l2
 from pinns_tpu.train.metrics import MetricsLogger
@@ -111,15 +114,44 @@ class Problem:
         return lam1, lam2
 
     def residuals(self, params, colloc):
-        """PDE residual(s) at collocation points: array (Burgers) or tuple."""
+        """PDE residual(s) at collocation points: array (Burgers) or tuple.
+
+        With loss.grad_weight_kappa > 0 the returned field is the
+        gradient-weighted residual w*f, w = 1/(1 + kappa*s^2) with a
+        stop-gradiented shock indicator s (u_x for Burgers, |(rho_x, u_x)|
+        for Euler) — so every consumer (penalty, ADMM prox/dual updates,
+        misfit monitor) regularizes the same weighted field.
+        """
+        kappa = self.exp.loss.grad_weight_kappa
         if self.exp.pde.kind == "burgers":
             lam1, lam2 = self.effective_coeffs(params)
-            _, f = burgers_residual(self.spec, params["net"], colloc, lam1, lam2)
+            _, f, u_x, _ = burgers_residual_aux(
+                self.spec, params["net"], colloc, lam1, lam2
+            )
+            if kappa > 0.0:
+                s2 = jax.lax.stop_gradient(u_x) ** 2
+                f = f / (1.0 + kappa * s2)
             return f
-        _, residuals = euler_residuals(
+        _, residuals, (rho_x, u_x) = euler_residuals_aux(
             self.spec, params["net"], colloc, self.exp.pde.gamma
         )
+        if kappa > 0.0:
+            s2 = jax.lax.stop_gradient(rho_x) ** 2 + (
+                jax.lax.stop_gradient(u_x) ** 2
+            )
+            w = 1.0 / (1.0 + kappa * s2)
+            residuals = tuple(w * fi for fi in residuals)
         return residuals
+
+    def entropy_sq(self, params, colloc):
+        """Squared positive part of the Burgers entropy residual
+        relu(U_t + F_x)^2 for U = u^2/2, F = lambda1 u^3/3 (per point)."""
+        lam1, lam2 = self.effective_coeffs(params)
+        u, _, u_x, u_t = burgers_residual_aux(
+            self.spec, params["net"], colloc, lam1, lam2
+        )
+        e = u * u_t + lam1 * u * u * u_x
+        return jnp.maximum(e, 0.0) ** 2
 
     def residuals_chunked(self, params, colloc):
         """Residuals over the full batch, evaluated microbatch-by-microbatch
@@ -237,16 +269,21 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     n_f = colloc.shape[0]
     m = exp.sampling.microbatch
     rho = cfg.rho if rho is None else rho
+    ew = cfg.entropy_weight
 
     if m <= 1:
         residuals = problem.residuals(params, colloc)
         if cfg.residual_kind == "admm":
-            return admm_penalty(residuals, admm_state, rho, cfg.explicit_inner)
-        if isinstance(residuals, tuple):
-            return sum(
+            term = admm_penalty(residuals, admm_state, rho, cfg.explicit_inner)
+        elif isinstance(residuals, tuple):
+            term = sum(
                 residual_penalty(f, cfg.residual_kind, n_f) for f in residuals
             )
-        return residual_penalty(residuals, cfg.residual_kind, n_f)
+        else:
+            term = residual_penalty(residuals, cfg.residual_kind, n_f)
+        if ew > 0.0:
+            term = term + ew * jnp.sum(problem.entropy_sq(params, colloc)) / n_f
+        return term
 
     n = colloc.shape[0]
     if n % m:
@@ -263,7 +300,10 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
         def body(acc, xs):
             ch, st = xs
             f = problem.residuals(params, ch)
-            return acc + admm_penalty(f, st, rho, cfg.explicit_inner), None
+            pen = admm_penalty(f, st, rho, cfg.explicit_inner)
+            if ew > 0.0:
+                pen = pen + ew * jnp.sum(problem.entropy_sq(params, ch)) / n_f
+            return acc + pen, None
 
         term, _ = jax.lax.scan(
             jax.checkpoint(body), jnp.zeros((), dtype), (chunks, st_chunks)
@@ -274,19 +314,22 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     # norms that are nonlinear in the batch (l1_sq) assemble afterwards
     n_comp = 3 if exp.pde.kind == "euler" else 1
     zero = jnp.zeros((), dtype)
-    init = tuple((zero, zero) for _ in range(n_comp))
+    init = (tuple((zero, zero) for _ in range(n_comp)), zero)
 
     def body(acc, ch):
+        comp_acc, ent_acc = acc
         f = problem.residuals(params, ch)
         fs = f if isinstance(f, tuple) else (f,)
         new = tuple(
             (a0 + jnp.sum(fi * fi), a1 + jnp.sum(jnp.abs(fi)))
-            for (a0, a1), fi in zip(acc, fs)
+            for (a0, a1), fi in zip(comp_acc, fs)
         )
-        return new, None
+        if ew > 0.0:
+            ent_acc = ent_acc + jnp.sum(problem.entropy_sq(params, ch))
+        return (new, ent_acc), None
 
-    accs, _ = jax.lax.scan(jax.checkpoint(body), init, chunks)
-    term = jnp.zeros((), dtype)
+    (accs, ent_sum), _ = jax.lax.scan(jax.checkpoint(body), init, chunks)
+    term = ew * ent_sum / n_f if ew > 0.0 else jnp.zeros((), dtype)
     for ssq, sabs in accs:
         if cfg.residual_kind == "mean_sq":
             term = term + ssq / n
@@ -310,6 +353,13 @@ def make_loss_fn(problem: Problem):
             "residual_weight must be 1 with residual_kind='admm' — scale the "
             "penalty with loss.rho instead (the prox threshold tracks rho)"
         )
+    if loss_cfg.entropy_weight > 0.0 and exp.pde.kind != "burgers":
+        raise ValueError(
+            "entropy_weight implements the Burgers entropy pair "
+            "(U=u^2/2, F=lambda1 u^3/3); set it only with pde.kind='burgers'"
+        )
+    if loss_cfg.grad_weight_kappa < 0.0:
+        raise ValueError("grad_weight_kappa must be >= 0")
     field_w = loss_cfg.data_field_weights
     if field_w and len(field_w) != len(EULER_FIELDS):
         raise ValueError(

@@ -1,0 +1,147 @@
+"""Shock-capture formulation knobs (beyond-reference; LossConfig):
+gradient-weighted residuals and the Burgers entropy-admissibility penalty."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import get_preset
+from pinns_tpu.train import Trainer
+from pinns_tpu.train.trainer import make_loss_fn
+
+HAVE_REF = os.path.isdir("/root/reference")
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+
+
+def _small(preset, **updates):
+    exp = get_preset(preset)
+    base = {
+        "train.epochs": 200,
+        "train.chunk": 100,
+        "sampling.n_f": 256,
+        "model.layers": (2, 12, 12, 1),
+    }
+    base.update(updates)
+    return override(exp, base)
+
+
+def test_grad_weight_scales_residual_field():
+    """problem.residuals with kappa>0 must equal f / (1 + kappa*u_x^2)."""
+    from pinns_tpu.ops.residuals import burgers_residual_aux
+
+    kappa = 25.0
+    tr0 = Trainer(_small("abgrall_admm"))
+    trw = Trainer(_small("abgrall_admm", **{"loss.grad_weight_kappa": kappa}))
+    state = tr0.init_state()
+    colloc = state.colloc
+
+    f0 = tr0.problem.residuals(state.params, colloc)
+    fw = trw.problem.residuals(state.params, colloc)
+    _, _, u_x, _ = burgers_residual_aux(
+        tr0.problem.spec, state.params["net"], colloc, 1.0, 0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(fw),
+        np.asarray(f0 / (1.0 + kappa * u_x**2)),
+        rtol=1e-6,
+        atol=1e-7,
+    )
+    # the weighted field is strictly damped at steep-gradient points
+    assert float(jnp.max(jnp.abs(fw))) <= float(jnp.max(jnp.abs(f0))) + 1e-7
+
+
+def test_grad_weight_euler_tuple():
+    kappa = 10.0
+    tr0 = Trainer(_small("euler_admm", **{"model.layers": (2, 16, 16, 3)}))
+    trw = Trainer(
+        _small(
+            "euler_admm",
+            **{
+                "model.layers": (2, 16, 16, 3),
+                "loss.grad_weight_kappa": kappa,
+            },
+        )
+    )
+    state = tr0.init_state()
+    f0 = tr0.problem.residuals(state.params, state.colloc)
+    fw = trw.problem.residuals(state.params, state.colloc)
+    assert isinstance(fw, tuple) and len(fw) == 3
+    # all three components share ONE weight field: ratios must agree
+    r0 = np.asarray(fw[0] / f0[0])
+    for i in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(fw[i] / f0[i]), r0, rtol=1e-4, atol=1e-5
+        )
+    assert np.all(r0 <= 1.0 + 1e-6) and np.all(r0 > 0.0)
+
+
+def test_entropy_sq_nonnegative_and_wired():
+    tr = Trainer(
+        _small(
+            "abgrall_admm",
+            **{"loss.entropy_weight": 0.5, "loss.residual_kind": "mean_sq"},
+        )
+    )
+    state = tr.init_state()
+    ent = tr.problem.entropy_sq(state.params, state.colloc)
+    assert ent.shape == (256, 1)
+    assert float(jnp.min(ent)) >= 0.0
+    # the loss with the penalty is >= the loss without it (same params)
+    loss_w, _ = make_loss_fn(tr.problem)(state.params, state.colloc, state.admm)
+    tr0 = Trainer(_small("abgrall_admm", **{"loss.residual_kind": "mean_sq"}))
+    loss_0, _ = make_loss_fn(tr0.problem)(state.params, state.colloc, None)
+    assert float(loss_w) >= float(loss_0) - 1e-7
+
+
+@pytest.mark.parametrize("kind", ["mean_sq", "admm", "l1_sq_norm"])
+def test_microbatch_matches_full_batch_with_shock_terms(kind):
+    """Microbatching is pure scheduling: with kappa and entropy_weight on,
+    the loss must match the unbatched evaluation for every residual kind."""
+    def build(m):
+        return Trainer(
+            _small(
+                "abgrall_admm",
+                **{
+                    "loss.residual_kind": kind,
+                    "loss.grad_weight_kappa": 5.0,
+                    "loss.entropy_weight": 0.3,
+                    "sampling.microbatch": m,
+                },
+            )
+        )
+
+    tr1, tr4 = build(1), build(4)
+    state = tr1.init_state()
+    admm = state.admm
+    l1, _ = make_loss_fn(tr1.problem)(state.params, state.colloc, admm)
+    l4, _ = make_loss_fn(tr4.problem)(state.params, state.colloc, admm)
+    np.testing.assert_allclose(float(l1), float(l4), rtol=2e-5)
+
+
+def test_entropy_weight_rejected_for_euler():
+    exp = _small(
+        "euler_admm",
+        **{"model.layers": (2, 16, 16, 3), "loss.entropy_weight": 1.0},
+    )
+    with pytest.raises(ValueError, match="burgers"):
+        make_loss_fn(Trainer(exp).problem)
+
+
+def test_short_training_with_shock_terms_learns():
+    tr = Trainer(
+        _small(
+            "abgrall_admm",
+            **{
+                "loss.grad_weight_kappa": 10.0,
+                "loss.entropy_weight": 1.0,
+            },
+        )
+    )
+    state = tr.init_state()
+    state, summary = tr.train(state)
+    assert np.isfinite(summary["rel_l2_u"])
+    assert summary["rel_l2_u"] < 1.5
