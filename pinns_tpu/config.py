@@ -59,7 +59,18 @@ class SamplingConfig:
     # 'fixed_lhs':       Latin hypercube at init, kept fixed
     # 'fixed_lhs_anchored': LHS stacked with the data points
     #   (Hwan_L2Regularization_Burgers.py:183-184)
+    # 'rad': residual-based adaptive distribution (beyond-reference; Wu et
+    #   al. 2023): batch kept fixed within a chunk, re-drawn at every chunk
+    #   boundary by importance-sampling a fresh uniform candidate pool with
+    #   p ∝ |f|^rad_k / mean(|f|^rad_k) + rad_c — one extra residual
+    #   evaluation per chunk (~1000 steps), concentrating points where the
+    #   PDE is worst fit. With ADMM, z is re-initialized to the residuals at
+    #   the new points (the reference's own init semantics,
+    #   Hwan_L1Regularization_ADMM_Burgers.py:113-115).
     strategy: str = "resample_uniform"
+    rad_pool_factor: int = 8  # candidate pool = factor * n_f
+    rad_k: float = 1.0
+    rad_c: float = 1.0
     seed: int = 1234
     # Time-marching curriculum (beyond-reference): with resample_uniform,
     # grow the sampled t-range linearly from t_curriculum_floor of the domain

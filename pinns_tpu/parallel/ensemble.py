@@ -72,6 +72,12 @@ def make_ensemble_chunk(trainer, chunk: int, phase: str = "adam"):
     Metrics are packed into one array inside the scan (one transfer per
     chunk, not per metric).
     """
+    if trainer.exp.sampling.strategy == "rad":
+        raise ValueError(
+            "sampling.strategy='rad' re-draws the batch at chunk boundaries "
+            "via Trainer.train and is not wired into the vmapped ensemble "
+            "loop — use solo runs (or the sweep runner's serial path) for RAD"
+        )
     if phase == "adam":
         step = make_adam_step(trainer.problem, trainer.optimizer)
     elif phase == "lbfgs":

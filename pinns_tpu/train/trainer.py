@@ -240,7 +240,9 @@ def init_collocation(problem: Problem, key: jax.Array) -> jnp.ndarray:
     n_f, strategy = exp.sampling.n_f, exp.sampling.strategy
     if strategy == "resample_uniform":
         return _resample(problem, key, 0)
-    if strategy == "fixed_uniform":
+    if strategy in ("fixed_uniform", "rad"):
+        # 'rad' starts uniform; the Trainer re-draws it at chunk boundaries
+        # by residual-importance sampling (Trainer._rad_resample)
         return uniform_box(key, n_f, problem.lb, problem.ub, problem.spec.dtype)
     if strategy == "fixed_lhs":
         unit = latin_hypercube(key, n_f, 2, problem.spec.dtype)
@@ -714,6 +716,44 @@ class Trainer:
             self._chunks[key] = make_chunked(step, length, unroll=unroll)
         return self._chunks[key]
 
+    def _get_rad_resample(self):
+        """Jitted RAD re-draw (SamplingConfig strategy='rad'): importance-
+        sample n_f points from a fresh uniform pool with
+        p ∝ |f|^k / mean(|f|^k) + c (sum of |components| for systems); with
+        ADMM, z/dual re-initialize at the new points (the reference's init
+        semantics, Hwan_L1Regularization_ADMM_Burgers.py:113-115)."""
+        if not hasattr(self, "_rad_fn"):
+            problem = self.problem
+            cfg = self.exp.sampling
+            m_pool = cfg.rad_pool_factor * cfg.n_f
+
+            def fn(state):
+                key, k1, k2 = jax.random.split(state.key, 3)
+                lb, ub = _curriculum_bounds(problem, state.epoch)
+                pool = uniform_box(k1, m_pool, lb, ub, problem.spec.dtype)
+                f = problem.residuals_chunked(state.params, pool)
+                fs = f if isinstance(f, tuple) else (f,)
+                score = sum(jnp.abs(fi[:, 0]) for fi in fs)
+                pk = score ** cfg.rad_k
+                p = pk / (jnp.mean(pk) + 1e-12) + cfg.rad_c
+                idx = jax.random.categorical(
+                    k2, jnp.log(p + 1e-12), shape=(cfg.n_f,)
+                )
+                colloc = pool[idx]
+                if problem.colloc_sharding is not None:
+                    colloc = jax.lax.with_sharding_constraint(
+                        colloc, problem.colloc_sharding
+                    )
+                admm = state.admm
+                if admm is not None:
+                    admm = admm_init(
+                        problem.residuals_chunked(state.params, colloc)
+                    )
+                return state._replace(colloc=colloc, key=key, admm=admm)
+
+            self._rad_fn = jax.jit(fn)
+        return self._rad_fn
+
     def train(
         self, state: Optional[TrainState] = None, epochs: Optional[int] = None
     ):
@@ -765,6 +805,8 @@ class Trainer:
                     break
             self._maybe_snapshot(epoch, length, state)
             self._maybe_checkpoint(epoch, length, state)
+            if exp.sampling.strategy == "rad" and epoch < total:
+                state = self._get_rad_resample()(state)
 
         summary = self.evaluate(state)
         summary["epochs"] = epoch

@@ -386,3 +386,19 @@ def test_scan_unroll_matches_unrolled_trajectory():
                     jax.tree_util.tree_leaves(s4.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_resolve_scan_unroll_policy():
+    """Auto (0): unroll 8 only for narrow nets, Adam phase, chunks >= 200;
+    explicit values pass through clamped to the chunk length."""
+    from pinns_tpu.train.trainer import resolve_scan_unroll
+
+    narrow = _small("abgrall_admm", **{"model.layers": (2, 20, 20, 1)})
+    wide = _small("abgrall_admm", **{"model.layers": (2, 200, 200, 1)})
+    assert resolve_scan_unroll(narrow, "adam", 1000) == 8
+    assert resolve_scan_unroll(narrow, "adam", 100) == 1   # short chunk
+    assert resolve_scan_unroll(narrow, "lbfgs", 1000) == 1  # lbfgs phase
+    assert resolve_scan_unroll(wide, "adam", 1000) == 1     # compute-bound
+    explicit = _small("abgrall_admm", **{"train.scan_unroll": 16})
+    assert resolve_scan_unroll(explicit, "adam", 1000) == 16
+    assert resolve_scan_unroll(explicit, "adam", 4) == 4    # clamp to chunk
