@@ -576,15 +576,23 @@ def _make_optimizer(cfg):
 def resolve_scan_unroll(exp, phase: str, length: int) -> int:
     """Resolve TrainConfig.scan_unroll (0 = auto) for one chunk program.
 
-    Auto unrolls only narrow-net Adam chunks of production length: narrow
-    steps are op-issue-bound (see TrainConfig.scan_unroll), but unrolling
-    multiplies the scan body ~8x at trace/compile time, so short chunks
-    (tests, tails) keep unroll=1 — their cost is compile, not issue.
+    Auto unrolls only Adam chunks of production length: small-per-step-work
+    configs are op-issue-bound (see TrainConfig.scan_unroll), but unrolling
+    multiplies the scan body at trace/compile time, so short chunks (tests,
+    tails) keep unroll=1 — their cost is compile, not issue. Narrow nets get
+    8 (measured 76.4 -> 56.6 us canonical); wide trunks at small batches are
+    still partially issue-bound and get 4 (measured 294 -> 255 us on the
+    Euler 5x200 config at n_f=1000); large-batch wide configs (the 1M-pt
+    scale preset) are compute/HBM-bound and keep 1.
     """
     unroll = exp.train.scan_unroll
     if unroll == 0:
-        narrow = max(exp.model.layers) <= 64
-        unroll = 8 if narrow and phase == "adam" and length >= 200 else 1
+        unroll = 1
+        if phase == "adam" and length >= 200:
+            if max(exp.model.layers) <= 64:
+                unroll = 8
+            elif exp.sampling.n_f <= 2048:
+                unroll = 4
     return max(1, min(unroll, length))
 
 

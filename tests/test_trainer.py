@@ -398,7 +398,13 @@ def test_resolve_scan_unroll_policy():
     assert resolve_scan_unroll(narrow, "adam", 1000) == 8
     assert resolve_scan_unroll(narrow, "adam", 100) == 1   # short chunk
     assert resolve_scan_unroll(narrow, "lbfgs", 1000) == 1  # lbfgs phase
-    assert resolve_scan_unroll(wide, "adam", 1000) == 1     # compute-bound
+    # wide trunk at small batch (Euler-like): still issue-bound -> 4
+    assert resolve_scan_unroll(wide, "adam", 1000) == 4
+    big_batch = _small(
+        "abgrall_admm",
+        **{"model.layers": (2, 200, 200, 1), "sampling.n_f": 1 << 20},
+    )
+    assert resolve_scan_unroll(big_batch, "adam", 1000) == 1  # compute-bound
     explicit = _small("abgrall_admm", **{"train.scan_unroll": 16})
     assert resolve_scan_unroll(explicit, "adam", 1000) == 16
     assert resolve_scan_unroll(explicit, "adam", 4) == 4    # clamp to chunk
