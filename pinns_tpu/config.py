@@ -109,11 +109,12 @@ class LossConfig:
     # weighted field w*f; the indicator is stop-gradiented so the weights
     # steer, not train.
     grad_weight_kappa: float = 0.0
-    # entropy_weight > 0 adds mean(relu(U_t + F_x)^2) for the Burgers entropy
-    # pair U = u^2/2, F = lambda1 u^3/3 - the pointwise entropy-admissibility
-    # penalty (entropy production must be <= 0 for inviscid weak solutions);
+    # entropy_weight > 0 adds a pointwise entropy-admissibility penalty that
     # selects the entropy solution among weak solutions the residual alone
-    # cannot distinguish. Burgers only.
+    # cannot distinguish. Burgers: mean(relu(U_t + F_x)^2) for the entropy
+    # pair U = u^2/2, F = lambda1 u^3/3. Euler: mean(relu(-(S_t + u S_x))^2)
+    # for the physical entropy S = log p - gamma log rho (entropy along
+    # particle paths must not decrease).
     entropy_weight: float = 0.0
     explicit_inner: bool = False  # Hwan ADMM's dual^T r term
     # Where the ADMM z/dual updates evaluate residuals (SURVEY.md hard part

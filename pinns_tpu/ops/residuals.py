@@ -93,9 +93,12 @@ def euler_residuals_aux(
     x: jnp.ndarray,
     gamma: float = 1.4,
 ):
-    """Euler residuals plus the spatial gradients (rho_x, u_x) they are
-    built from — the shock/contact indicator for gradient weighting
-    (LossConfig.grad_weight_kappa)."""
+    """Euler residuals plus the full first-derivative arrays (y_x, y_t) they
+    are built from — consumed by the shock-capture terms (gradient
+    weighting, physical-entropy admissibility; LossConfig).
+
+    Returns ((rho, u, E), (f1, f2, f3), (y_x, y_t)) with y_* of shape
+    (N, 3) in field order (rho, u, E)."""
     y, y_x, y_t = mlp_taylor_1(spec, params, x)
     rho, u, e = y[:, 0:1], y[:, 1:2], y[:, 2:3]
     rho_x, u_x, e_x = y_x[:, 0:1], y_x[:, 1:2], y_x[:, 2:3]
@@ -107,7 +110,30 @@ def euler_residuals_aux(
     f1 = rho_t + (rho_x * u + rho * u_x)
     f2 = (rho_t * u + rho * u_t) + (rho_x * u * u + 2.0 * rho * u * u_x) + p_x
     f3 = e_t + (u_x * e + u * e_x) + (u_x * p + u * p_x)
-    return (rho, u, e), (f1, f2, f3), (rho_x, u_x)
+    return (rho, u, e), (f1, f2, f3), (y_x, y_t)
+
+
+def euler_entropy_production(y, y_x, y_t, gamma: float = 1.4, eps: float = 1e-3):
+    """Physical-entropy rate along particle paths, D = S_t + u S_x for
+    S = log p - gamma log rho (specific entropy up to constants).
+
+    The entropy inequality for admissible weak solutions is D >= 0 (entropy
+    is produced, never destroyed, across shocks); relu(-D)^2 is the
+    admissibility penalty. Derivatives expand by the chain rule over the
+    taylor-1 outputs; p and rho are clamped at eps so the penalty is only
+    active (and differentiable) where the state is physical."""
+    rho, u, e = y[:, 0:1], y[:, 1:2], y[:, 2:3]
+    rho_x, u_x, e_x = y_x[:, 0:1], y_x[:, 1:2], y_x[:, 2:3]
+    rho_t, u_t, e_t = y_t[:, 0:1], y_t[:, 1:2], y_t[:, 2:3]
+    g = gamma
+    p = (g - 1.0) * (e - 0.5 * rho * u * u)
+    p_x = (g - 1.0) * (e_x - 0.5 * (rho_x * u * u + 2.0 * rho * u * u_x))
+    p_t = (g - 1.0) * (e_t - 0.5 * (rho_t * u * u + 2.0 * rho * u * u_t))
+    p_c = jnp.maximum(p, eps)
+    rho_c = jnp.maximum(rho, eps)
+    s_x = p_x / p_c - g * rho_x / rho_c
+    s_t = p_t / p_c - g * rho_t / rho_c
+    return s_t + u * s_x
 
 
 def euler_pressure(rho, u, e, gamma: float = 1.4):

@@ -57,8 +57,10 @@ from pinns_tpu.models.mlp import MLPSpec, init_mlp, mlp_apply
 from pinns_tpu.opt.lbfgs import lbfgs_minimize
 from pinns_tpu.ops.residuals import (
     burgers_residual_aux,
+    euler_entropy_production,
     euler_residuals_aux,
 )
+from pinns_tpu.ops.taylor import mlp_taylor_1
 from pinns_tpu.train import checkpoint as ckpt_io
 from pinns_tpu.train.evaluate import predict_fields, relative_l2
 from pinns_tpu.train.metrics import MetricsLogger
@@ -132,26 +134,35 @@ class Problem:
                 s2 = jax.lax.stop_gradient(u_x) ** 2
                 f = f / (1.0 + kappa * s2)
             return f
-        _, residuals, (rho_x, u_x) = euler_residuals_aux(
+        _, residuals, (y_x, y_t) = euler_residuals_aux(
             self.spec, params["net"], colloc, self.exp.pde.gamma
         )
         if kappa > 0.0:
-            s2 = jax.lax.stop_gradient(rho_x) ** 2 + (
-                jax.lax.stop_gradient(u_x) ** 2
+            s2 = jax.lax.stop_gradient(y_x[:, 0:1]) ** 2 + (
+                jax.lax.stop_gradient(y_x[:, 1:2]) ** 2
             )
             w = 1.0 / (1.0 + kappa * s2)
             residuals = tuple(w * fi for fi in residuals)
         return residuals
 
     def entropy_sq(self, params, colloc):
-        """Squared positive part of the Burgers entropy residual
-        relu(U_t + F_x)^2 for U = u^2/2, F = lambda1 u^3/3 (per point)."""
-        lam1, lam2 = self.effective_coeffs(params)
-        u, _, u_x, u_t = burgers_residual_aux(
-            self.spec, params["net"], colloc, lam1, lam2
-        )
-        e = u * u_t + lam1 * u * u * u_x
-        return jnp.maximum(e, 0.0) ** 2
+        """Per-point squared entropy-admissibility violation.
+
+        Burgers: relu(U_t + F_x)^2 for the entropy pair U = u^2/2,
+        F = lambda1 u^3/3 (entropy production must be <= 0 for the
+        conserved-quantity entropy). Euler: relu(-(S_t + u S_x))^2 for the
+        physical entropy S = log p - gamma log rho (entropy along particle
+        paths must not decrease)."""
+        if self.exp.pde.kind == "burgers":
+            lam1, lam2 = self.effective_coeffs(params)
+            u, _, u_x, u_t = burgers_residual_aux(
+                self.spec, params["net"], colloc, lam1, lam2
+            )
+            e = u * u_t + lam1 * u * u * u_x
+            return jnp.maximum(e, 0.0) ** 2
+        y, y_x, y_t = mlp_taylor_1(self.spec, params["net"], colloc)
+        d = euler_entropy_production(y, y_x, y_t, self.exp.pde.gamma)
+        return jnp.maximum(-d, 0.0) ** 2
 
     def residuals_chunked(self, params, colloc):
         """Residuals over the full batch, evaluated microbatch-by-microbatch
@@ -354,11 +365,6 @@ def make_loss_fn(problem: Problem):
         raise ValueError(
             "residual_weight must be 1 with residual_kind='admm' — scale the "
             "penalty with loss.rho instead (the prox threshold tracks rho)"
-        )
-    if loss_cfg.entropy_weight > 0.0 and exp.pde.kind != "burgers":
-        raise ValueError(
-            "entropy_weight implements the Burgers entropy pair "
-            "(U=u^2/2, F=lambda1 u^3/3); set it only with pde.kind='burgers'"
         )
     if loss_cfg.grad_weight_kappa < 0.0:
         raise ValueError("grad_weight_kappa must be >= 0")

@@ -122,13 +122,51 @@ def test_microbatch_matches_full_batch_with_shock_terms(kind):
     np.testing.assert_allclose(float(l1), float(l4), rtol=2e-5)
 
 
-def test_entropy_weight_rejected_for_euler():
+def test_euler_entropy_penalty_wired_and_matches_fd():
+    """Euler entropy production S_t + u S_x (S = log p - gamma log rho):
+    chain-rule expansion must match a float64 finite-difference of S along
+    (x, t) computed from the raw network outputs."""
+    from pinns_tpu.ops.residuals import euler_entropy_production
+    from pinns_tpu.ops.taylor import mlp_taylor_1
+    from pinns_tpu.models.mlp import mlp_apply
+
     exp = _small(
         "euler_admm",
         **{"model.layers": (2, 16, 16, 3), "loss.entropy_weight": 1.0},
     )
-    with pytest.raises(ValueError, match="burgers"):
-        make_loss_fn(Trainer(exp).problem)
+    tr = Trainer(exp)
+    state = tr.init_state()
+    spec, net = tr.problem.spec, state.params["net"]
+    pts = state.colloc[:64]
+    y, y_x, y_t = mlp_taylor_1(spec, net, pts)
+    d = np.asarray(euler_entropy_production(y, y_x, y_t, 1.4))
+
+    def entropy(xy):
+        out = np.asarray(mlp_apply(spec, net, jnp.asarray(xy)), np.float64)
+        rho, u, e = out[:, 0], out[:, 1], out[:, 2]
+        p = 0.4 * (e - 0.5 * rho * u * u)
+        return np.log(np.maximum(p, 1e-3)) - 1.4 * np.log(
+            np.maximum(rho, 1e-3)
+        )
+
+    h = 1e-3
+    xy = np.asarray(pts, np.float64)
+    s_x = (entropy(xy + [h, 0]) - entropy(xy - [h, 0])) / (2 * h)
+    s_t = (entropy(xy + [0, h]) - entropy(xy - [0, h])) / (2 * h)
+    u_val = np.asarray(y[:, 1])
+    d_fd = s_t + u_val * s_x
+    # compare where the clamp is inactive (physical states)
+    out = np.asarray(mlp_apply(spec, net, pts))
+    rho, u_, e_ = out[:, 0], out[:, 1], out[:, 2]
+    p = 0.4 * (e_ - 0.5 * rho * u_ * u_)
+    mask = (p > 1e-2) & (rho > 1e-2)
+    assert mask.sum() > 5
+    np.testing.assert_allclose(d[mask, 0], d_fd[mask], rtol=2e-2, atol=2e-3)
+
+    # and the penalty trains: short run stays finite
+    state, summary = tr.train(state)
+    for f in ("rho", "u", "E"):
+        assert np.isfinite(summary[f"rel_l2_{f}"])
 
 
 def test_short_training_with_shock_terms_learns():
