@@ -38,6 +38,15 @@ class ModelConfig:
     # Run quantized streams' elementwise ops in compute_dtype too (maximum
     # throughput; larger quality cost — measured frontier in BASELINE.md).
     mixed_elementwise: bool = False
+    # Random Fourier feature embedding (beyond-reference; Tancik et al.
+    # 2020): n_fourier > 0 prepends [sin(2 pi B h), cos(2 pi B h)] features
+    # (B ~ N(0, fourier_sigma^2), deterministic in fourier_seed) to the
+    # normalized coordinates, widening the first layer — mitigates the tanh
+    # trunk's spectral bias at sharp features/shocks. Derivative streams
+    # propagate exactly through the embedding (ops/taylor.py).
+    n_fourier: int = 0
+    fourier_sigma: float = 3.0
+    fourier_seed: int = 0
 
 
 @_frozen

@@ -71,6 +71,14 @@ class MLPSpec:
     compute_dtype: Any = None
     keep_streams: tuple = ()
     mixed_elementwise: bool = False
+    # Random Fourier feature embedding (beyond-reference; Tancik et al. 2020):
+    # rows of the frequency matrix B (shape (F, in_dim)) as a nested tuple so
+    # the spec stays static/hashable — the embedding [h, sin(2*pi*B h),
+    # cos(2*pi*B h)] of the NORMALIZED coordinates feeds the first layer,
+    # mitigating the tanh trunk's spectral bias at sharp features. Empty =
+    # no embedding. Build with `fourier_matrix(...)` (ModelConfig knobs
+    # n_fourier / fourier_sigma / fourier_seed).
+    fourier: tuple = ()
 
     def __post_init__(self):
         if self.compute_dtype is not None:
@@ -82,6 +90,17 @@ class MLPSpec:
         object.__setattr__(self, "layers", tuple(int(w) for w in self.layers))
         object.__setattr__(self, "lb", tuple(float(v) for v in self.lb))
         object.__setattr__(self, "ub", tuple(float(v) for v in self.ub))
+        object.__setattr__(
+            self,
+            "fourier",
+            tuple(tuple(float(v) for v in row) for row in self.fourier),
+        )
+        if self.fourier and any(
+            len(row) != self.layers[0] for row in self.fourier
+        ):
+            raise ValueError(
+                f"fourier rows must have length layers[0]={self.layers[0]}"
+            )
         if len(self.lb) != self.layers[0] or len(self.ub) != self.layers[0]:
             raise ValueError(
                 f"lb/ub must have length layers[0]={self.layers[0]}, "
@@ -110,13 +129,23 @@ class MLPSpec:
         return self.layers[0]
 
     @property
+    def n_fourier(self) -> int:
+        return len(self.fourier)
+
+    @property
+    def embed_dim(self) -> int:
+        """First-layer input width: raw coords plus sin/cos feature pairs."""
+        return self.in_dim + 2 * self.n_fourier
+
+    @property
     def out_dim(self) -> int:
         return self.layers[-1]
 
     @property
     def n_params(self) -> int:
+        widths = (self.embed_dim,) + self.layers[1:]
         return sum(
-            din * dout + dout for din, dout in zip(self.layers[:-1], self.layers[1:])
+            din * dout + dout for din, dout in zip(widths[:-1], widths[1:])
         )
 
 
@@ -130,7 +159,8 @@ def init_mlp(key: jax.Array, spec: MLPSpec) -> Params:
     n_layers = len(spec.layers) - 1
     keys = jax.random.split(key, n_layers)
     params = []
-    for k, din, dout in zip(keys, spec.layers[:-1], spec.layers[1:]):
+    widths = (spec.embed_dim,) + spec.layers[1:]  # Fourier-expanded input
+    for k, din, dout in zip(keys, widths[:-1], widths[1:]):
         std = math.sqrt(2.0 / (din + dout))
         w = std * jax.random.truncated_normal(
             k, -2.0, 2.0, (din, dout), dtype=spec.dtype
@@ -154,13 +184,80 @@ def input_scale(spec: MLPSpec) -> jax.Array:
     return 2.0 / (ub - lb)
 
 
+def fourier_matrix(
+    n_features: int, in_dim: int = 2, sigma: float = 3.0, seed: int = 0
+) -> tuple:
+    """Frequency matrix B ~ N(0, sigma^2), shape (F, in_dim), as the nested
+    tuple MLPSpec.fourier expects. Deterministic in `seed` (the embedding is
+    part of the model definition, not a trainable)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    b = sigma * rng.standard_normal((n_features, in_dim))
+    return tuple(tuple(float(v) for v in row) for row in b)
+
+
+def _fourier_b(spec: MLPSpec) -> jax.Array:
+    """(in_dim, F) matrix 2*pi*B^T — the phase is z = h @ (2 pi B^T)."""
+    b = jnp.asarray(spec.fourier, dtype=spec.dtype)  # (F, in_dim)
+    return 2.0 * jnp.pi * b.T
+
+
+def embed_inputs(spec: MLPSpec, h: jax.Array) -> jax.Array:
+    """[h, sin z, cos z] with z = 2*pi*(h @ B^T); identity when no fourier."""
+    if not spec.fourier:
+        return h
+    z = jnp.dot(h, _fourier_b(spec), precision=spec.lax_precision)
+    return jnp.concatenate([h, jnp.sin(z), jnp.cos(z)], axis=1)
+
+
+def embed_streams(spec: MLPSpec, h: jax.Array):
+    """Embedding value and its first/second derivative streams w.r.t. the
+    RAW inputs (chain rule through the [-1,1] rescale included).
+
+    Returns (phi, dphi_dx, dphi_dt, d2phi_dx2), shapes (N, embed_dim); the
+    second-derivative entry is None without fourier (affine embedding).
+    Feeds the Taylor-mode initial streams (ops/taylor.py).
+    """
+    scale = input_scale(spec)  # (in_dim,)
+    if not spec.fourier:
+        n = h.shape[0]
+        dx = jnp.broadcast_to(
+            jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale, (n, 2)
+        )
+        dt = jnp.broadcast_to(
+            jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale, (n, 2)
+        )
+        return h, dx, dt, None
+    bt = _fourier_b(spec)  # (in_dim, F)
+    z = jnp.dot(h, bt, precision=spec.lax_precision)
+    sin_z, cos_z = jnp.sin(z), jnp.cos(z)
+    zeros = jnp.zeros_like(h)
+    # d z / d raw_x = scale_x * bt[0], / d raw_t = scale_t * bt[1]
+    zx = scale[0] * bt[0]  # (F,)
+    zt = scale[1] * bt[1]
+    ex = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale, h.shape
+    )
+    et = jnp.broadcast_to(
+        jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale, h.shape
+    )
+    phi = jnp.concatenate([h, sin_z, cos_z], axis=1)
+    dphi_dx = jnp.concatenate([ex, cos_z * zx, -sin_z * zx], axis=1)
+    dphi_dt = jnp.concatenate([et, cos_z * zt, -sin_z * zt], axis=1)
+    d2phi_dx2 = jnp.concatenate(
+        [zeros, -sin_z * zx * zx, -cos_z * zx * zx], axis=1
+    )
+    return phi, dphi_dx, dphi_dt, d2phi_dx2
+
+
 def mlp_apply(spec: MLPSpec, params: Params, x: jax.Array) -> jax.Array:
-    """Forward pass: normalize -> tanh hidden layers -> linear head.
+    """Forward pass: normalize -> [Fourier embed] -> tanh layers -> head.
 
     x: (N, in_dim) -> (N, out_dim). Matches ``neural_net``
-    (``Abgrall_ADMM.py:153-164``) semantics.
+    (``Abgrall_ADMM.py:153-164``) semantics (plus the optional embedding).
     """
-    h = normalize_inputs(spec, x)
+    h = embed_inputs(spec, normalize_inputs(spec, x))
     prec = spec.lax_precision
     for layer in params[:-1]:
         h = jnp.tanh(jnp.dot(h, layer["W"], precision=prec) + layer["b"])

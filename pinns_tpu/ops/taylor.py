@@ -44,7 +44,12 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from pinns_tpu.models.mlp import MLPSpec, Params, input_scale, normalize_inputs
+from pinns_tpu.models.mlp import (
+    MLPSpec,
+    Params,
+    embed_streams,
+    normalize_inputs,
+)
 
 
 class _StreamPolicy:
@@ -99,13 +104,11 @@ def mlp_taylor_1(
     """
     if spec.in_dim != 2:
         raise ValueError("mlp_taylor_1 expects in_dim == 2 (x, t)")
-    scale = input_scale(spec)  # (2,) — chain rule factor of the [-1,1] rescale
     pol = _StreamPolicy(spec)
 
-    h = normalize_inputs(spec, x)
-    # Tangent rows: d(normalized input)/dx = [sx, 0], /dt = [0, st].
-    hx = jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale
-    ht = jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale
+    # Initial streams: value + tangent rows of the (possibly Fourier-
+    # embedded) normalized inputs, chain rule through the rescale included.
+    h, hx, ht, _ = embed_streams(spec, normalize_inputs(spec, x))
 
     for i, layer in enumerate(params[:-1]):
         w, b = layer["W"], layer["b"]
@@ -138,17 +141,12 @@ def mlp_taylor_2_stacked(
     if spec.in_dim != 2:
         raise ValueError("mlp_taylor_2_stacked expects in_dim == 2 (x, t)")
     prec = spec.lax_precision
-    scale = input_scale(spec)
     n = x.shape[0]
 
-    h = normalize_inputs(spec, x)
-    hx = jnp.broadcast_to(
-        jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale, h.shape
-    )
-    ht = jnp.broadcast_to(
-        jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale, h.shape
-    )
-    s4 = jnp.concatenate([h, hx, ht, jnp.zeros_like(h)], axis=0)  # (4N, 2)
+    h, hx, ht, hxx = embed_streams(spec, normalize_inputs(spec, x))
+    if hxx is None:
+        hxx = jnp.zeros_like(h)
+    s4 = jnp.concatenate([h, hx, ht, hxx], axis=0)  # (4N, embed_dim)
 
     for layer in params[:-1]:
         w, b = layer["W"], layer["b"]
@@ -180,13 +178,11 @@ def mlp_taylor_2(
     """
     if spec.in_dim != 2:
         raise ValueError("mlp_taylor_2 expects in_dim == 2 (x, t)")
-    scale = input_scale(spec)
     pol = _StreamPolicy(spec)
 
-    h = normalize_inputs(spec, x)
-    hx = jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale
-    ht = jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale
-    hxx = None  # identically zero at the input (affine rescale)
+    # hxx is None (identically zero) for the affine rescale; the Fourier
+    # embedding adds a nonzero curvature stream -B^2 sin/cos.
+    h, hx, ht, hxx = embed_streams(spec, normalize_inputs(spec, x))
 
     for i, layer in enumerate(params[:-1]):
         w, b = layer["W"], layer["b"]

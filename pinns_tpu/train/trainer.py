@@ -53,7 +53,7 @@ from pinns_tpu.losses.admm import (
     admm_update,
 )
 from pinns_tpu.losses.misfit import data_misfit, residual_penalty
-from pinns_tpu.models.mlp import MLPSpec, init_mlp, mlp_apply
+from pinns_tpu.models.mlp import MLPSpec, fourier_matrix, init_mlp, mlp_apply
 from pinns_tpu.opt.lbfgs import lbfgs_minimize
 from pinns_tpu.ops.residuals import (
     burgers_residual_aux,
@@ -196,6 +196,14 @@ def build_problem(exp: Experiment) -> Problem:
         )
 
     dtype = jnp.dtype(exp.model.dtype)
+    fourier = ()
+    if exp.model.n_fourier > 0:
+        fourier = fourier_matrix(
+            exp.model.n_fourier,
+            in_dim=exp.model.layers[0],
+            sigma=exp.model.fourier_sigma,
+            seed=exp.model.fourier_seed,
+        )
     spec = MLPSpec(
         layers=exp.model.layers,
         lb=tuple(float(v) for v in ds.lb),
@@ -205,6 +213,7 @@ def build_problem(exp: Experiment) -> Problem:
         compute_dtype=exp.model.compute_dtype or None,
         keep_streams=exp.model.keep_streams,
         mixed_elementwise=exp.model.mixed_elementwise,
+        fourier=fourier,
     )
     return Problem(
         exp=exp,
