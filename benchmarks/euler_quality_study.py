@@ -51,7 +51,9 @@ def run(tag, overrides, epochs):
         dict(
             {
                 "train.epochs": epochs,
-                "train.chunk": 10_000,
+                # wide 5x200 trunk: keep scanned chunks <= 250 to avoid the
+                # pathological remote compile (CLAUDE.md)
+                "train.chunk": 250,
                 "train.log_every": 0,
                 "optimizer.kind": "adam",
             },

@@ -61,7 +61,9 @@ def run(preset, tag, overrides, epochs, extra_base=None):
     base = dict(extra_base or {})
     base.update({
         "train.epochs": epochs,
-        "train.chunk": 10_000,
+        # narrow TwoSin cells tolerate long chunks, but Part B shares this
+        # base with the wide 5x200 Euler trunk — keep <= 250 (CLAUDE.md)
+        "train.chunk": 250,
         "train.log_every": 0,
         "optimizer.schedule_epochs": epochs,
     })

@@ -185,10 +185,12 @@ class TrainConfig:
     # are loop-boundary buffer copies) — unrolling lets XLA fuse across
     # steps and delete most per-iteration copies. Measured frontier on v5e
     # (canonical config): 1 -> 76.4 us/step, 8 -> 56.6, 16 -> 55.3,
-    # 32 -> 74.7 (program blowup). 0 = auto: 8 for narrow nets (width <=
-    # 64) on Adam chunks of production length (>= 200 steps); 1 otherwise
-    # (wide nets are compute-bound, and unrolling short chunks only grows
-    # compile time — it also risks the pathological wide-net remote compile).
+    # 32 -> 74.7 (program blowup). 0 = auto (production-length Adam chunks
+    # >= 200 steps only): 8 for narrow nets (width <= 64); 4 for wide
+    # trunks at small batches (n_f <= 2048 — still partially issue-bound,
+    # e.g. the Euler 5x200 config measures 294 -> 255 us/step); 1 for
+    # large-batch wide configs (compute/HBM-bound; unrolling only grows
+    # compile time and risks the pathological wide-net remote compile).
     scan_unroll: int = 0
     log_every: int = 1000  # metrics-log cadence in epochs; <= 0 = final only
     snapshot_every: int = 0  # full-grid prediction snapshots; 0 = off

@@ -179,6 +179,13 @@ def run_ensemble(
         stacked, metrics = runs[key](stacked)
         epoch += length
 
+        # stop_tol mirrors Trainer.train (Hwan_L2's tolerance stop): for an
+        # ensemble, stop once EVERY member's |loss| is under the tolerance
+        if exp.train.stop_tol > 0.0:
+            last_losses = np.asarray(metrics["loss"][-1])
+            if np.all(np.abs(last_losses) <= exp.train.stop_tol):
+                total = epoch  # triggers the final log below and exits
+
         if epoch >= total or _crossed(epoch, length, exp.train.log_every):
             # ONE device->host fetch for all members' last-step metrics
             keys = sorted(metrics)
@@ -207,7 +214,11 @@ def run_ensemble(
                 if want_ckpt:
                     trainer.save_checkpoint(member, tag=f"e{epoch}_m{i}")
 
-    summaries = evaluate_ensemble(trainer, stacked, n)
+    # same summary schema as a solo run (incl. the epoch actually reached —
+    # stop_tol can end the schedule early)
+    summaries = [
+        dict(s, epochs=epoch) for s in evaluate_ensemble(trainer, stacked, n)
+    ]
     for i, (logger, summary) in enumerate(zip(loggers, summaries)):
         logger.write_summary(dict(summary, member=i, seed=int(seeds[i])))
     if out_dir:

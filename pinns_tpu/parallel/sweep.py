@@ -101,18 +101,23 @@ def run_sweep(
         use_ensemble = (
             group_seeds
             and len(members) > 1
+            and exp0.sampling.strategy != "rad"  # RAD re-draws live in
+            # Trainer.train, not the vmapped chunk loop — serial path runs it
             and all(
                 set(m) & set(_VMAPPABLE) for m in members
             )
         )
         if len(members) > 1 and not use_ensemble:
             # no silent caps: say WHY this group degrades to serial runs
-            reason = (
-                "group_seeds=False"
-                if not group_seeds
-                else "some members have no vmappable axis "
-                f"(vmappable: {', '.join(_VMAPPABLE)})"
-            )
+            if not group_seeds:
+                reason = "group_seeds=False"
+            elif exp0.sampling.strategy == "rad":
+                reason = "sampling.strategy='rad' needs the solo train loop"
+            else:
+                reason = (
+                    "some members have no vmappable axis "
+                    f"(vmappable: {', '.join(_VMAPPABLE)})"
+                )
             print(
                 f"sweep: running {len(members)} configs serially — {reason}",
                 flush=True,

@@ -60,7 +60,6 @@ from pinns_tpu.ops.residuals import (
     euler_entropy_production,
     euler_residuals_aux,
 )
-from pinns_tpu.ops.taylor import mlp_taylor_1
 from pinns_tpu.train import checkpoint as ckpt_io
 from pinns_tpu.train.evaluate import predict_fields, relative_l2
 from pinns_tpu.train.metrics import MetricsLogger
@@ -115,54 +114,59 @@ class Problem:
             lam2 = jnp.exp(lam2)
         return lam1, lam2
 
-    def residuals(self, params, colloc):
-        """PDE residual(s) at collocation points: array (Burgers) or tuple.
+    def residuals_and_entropy(self, params, colloc, want_entropy: bool):
+        """(residuals, per-point entropy_sq or None) from ONE Taylor pass.
 
-        With loss.grad_weight_kappa > 0 the returned field is the
-        gradient-weighted residual w*f, w = 1/(1 + kappa*s^2) with a
-        stop-gradiented shock indicator s (u_x for Burgers, |(rho_x, u_x)|
-        for Euler) — so every consumer (penalty, ADMM prox/dual updates,
-        misfit monitor) regularizes the same weighted field.
+        With loss.grad_weight_kappa > 0 the residual field is the
+        gradient-weighted w*f, w = 1/(1 + kappa*s^2) with a stop-gradiented
+        shock indicator s (u_x for Burgers, |(rho_x, u_x)| for Euler) — so
+        every consumer (penalty, ADMM prox/dual updates, misfit monitor)
+        regularizes the same weighted field. The entropy term (requested
+        only when loss.entropy_weight > 0) is the squared admissibility
+        violation: Burgers relu(U_t + F_x)^2 for U = u^2/2,
+        F = lambda1 u^3/3; Euler relu(-(S_t + u S_x))^2 for the physical
+        entropy S = log p - gamma log rho. Both reuse the streams the
+        residual already computed — no second derivative sweep.
         """
         kappa = self.exp.loss.grad_weight_kappa
         if self.exp.pde.kind == "burgers":
             lam1, lam2 = self.effective_coeffs(params)
-            _, f, u_x, _ = burgers_residual_aux(
+            u, f, u_x, u_t = burgers_residual_aux(
                 self.spec, params["net"], colloc, lam1, lam2
             )
+            ent = None
+            if want_entropy:
+                e = u * u_t + lam1 * u * u * u_x
+                ent = jnp.maximum(e, 0.0) ** 2
             if kappa > 0.0:
                 s2 = jax.lax.stop_gradient(u_x) ** 2
                 f = f / (1.0 + kappa * s2)
-            return f
-        _, residuals, (y_x, y_t) = euler_residuals_aux(
+            return f, ent
+        (rho, u, e), residuals, (y_x, y_t) = euler_residuals_aux(
             self.spec, params["net"], colloc, self.exp.pde.gamma
         )
+        ent = None
+        if want_entropy:
+            y = jnp.concatenate([rho, u, e], axis=1)
+            d = euler_entropy_production(y, y_x, y_t, self.exp.pde.gamma)
+            ent = jnp.maximum(-d, 0.0) ** 2
         if kappa > 0.0:
             s2 = jax.lax.stop_gradient(y_x[:, 0:1]) ** 2 + (
                 jax.lax.stop_gradient(y_x[:, 1:2]) ** 2
             )
             w = 1.0 / (1.0 + kappa * s2)
             residuals = tuple(w * fi for fi in residuals)
-        return residuals
+        return residuals, ent
+
+    def residuals(self, params, colloc):
+        """PDE residual(s) at collocation points: array (Burgers) or tuple
+        (see residuals_and_entropy for the gradient-weighting semantics)."""
+        return self.residuals_and_entropy(params, colloc, False)[0]
 
     def entropy_sq(self, params, colloc):
-        """Per-point squared entropy-admissibility violation.
-
-        Burgers: relu(U_t + F_x)^2 for the entropy pair U = u^2/2,
-        F = lambda1 u^3/3 (entropy production must be <= 0 for the
-        conserved-quantity entropy). Euler: relu(-(S_t + u S_x))^2 for the
-        physical entropy S = log p - gamma log rho (entropy along particle
-        paths must not decrease)."""
-        if self.exp.pde.kind == "burgers":
-            lam1, lam2 = self.effective_coeffs(params)
-            u, _, u_x, u_t = burgers_residual_aux(
-                self.spec, params["net"], colloc, lam1, lam2
-            )
-            e = u * u_t + lam1 * u * u * u_x
-            return jnp.maximum(e, 0.0) ** 2
-        y, y_x, y_t = mlp_taylor_1(self.spec, params["net"], colloc)
-        d = euler_entropy_production(y, y_x, y_t, self.exp.pde.gamma)
-        return jnp.maximum(-d, 0.0) ** 2
+        """Per-point squared entropy-admissibility violation (see
+        residuals_and_entropy)."""
+        return self.residuals_and_entropy(params, colloc, True)[1]
 
     def residuals_chunked(self, params, colloc):
         """Residuals over the full batch, evaluated microbatch-by-microbatch
@@ -260,9 +264,12 @@ def init_collocation(problem: Problem, key: jax.Array) -> jnp.ndarray:
     n_f, strategy = exp.sampling.n_f, exp.sampling.strategy
     if strategy == "resample_uniform":
         return _resample(problem, key, 0)
-    if strategy in ("fixed_uniform", "rad"):
-        # 'rad' starts uniform; the Trainer re-draws it at chunk boundaries
-        # by residual-importance sampling (Trainer._rad_resample)
+    if strategy == "rad":
+        # starts uniform (curriculum- and sharding-aware, like
+        # resample_uniform); the Trainer re-draws it at chunk boundaries by
+        # residual-importance sampling (Trainer._get_rad_resample)
+        return _resample(problem, key, 0)
+    if strategy == "fixed_uniform":
         return uniform_box(key, n_f, problem.lb, problem.ub, problem.spec.dtype)
     if strategy == "fixed_lhs":
         unit = latin_hypercube(key, n_f, 2, problem.spec.dtype)
@@ -294,7 +301,9 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     ew = cfg.entropy_weight
 
     if m <= 1:
-        residuals = problem.residuals(params, colloc)
+        residuals, ent = problem.residuals_and_entropy(
+            params, colloc, ew > 0.0
+        )
         if cfg.residual_kind == "admm":
             term = admm_penalty(residuals, admm_state, rho, cfg.explicit_inner)
         elif isinstance(residuals, tuple):
@@ -304,7 +313,7 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
         else:
             term = residual_penalty(residuals, cfg.residual_kind, n_f)
         if ew > 0.0:
-            term = term + ew * jnp.sum(problem.entropy_sq(params, colloc)) / n_f
+            term = term + ew * jnp.sum(ent) / n_f
         return term
 
     n = colloc.shape[0]
@@ -321,10 +330,10 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
 
         def body(acc, xs):
             ch, st = xs
-            f = problem.residuals(params, ch)
+            f, ent = problem.residuals_and_entropy(params, ch, ew > 0.0)
             pen = admm_penalty(f, st, rho, cfg.explicit_inner)
             if ew > 0.0:
-                pen = pen + ew * jnp.sum(problem.entropy_sq(params, ch)) / n_f
+                pen = pen + ew * jnp.sum(ent) / n_f
             return acc + pen, None
 
         term, _ = jax.lax.scan(
@@ -340,14 +349,14 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
 
     def body(acc, ch):
         comp_acc, ent_acc = acc
-        f = problem.residuals(params, ch)
+        f, ent = problem.residuals_and_entropy(params, ch, ew > 0.0)
         fs = f if isinstance(f, tuple) else (f,)
         new = tuple(
             (a0 + jnp.sum(fi * fi), a1 + jnp.sum(jnp.abs(fi)))
             for (a0, a1), fi in zip(comp_acc, fs)
         )
         if ew > 0.0:
-            ent_acc = ent_acc + jnp.sum(problem.entropy_sq(params, ch))
+            ent_acc = ent_acc + jnp.sum(ent)
         return (new, ent_acc), None
 
     (accs, ent_sum), _ = jax.lax.scan(jax.checkpoint(body), init, chunks)
@@ -378,6 +387,11 @@ def make_loss_fn(problem: Problem):
     if loss_cfg.grad_weight_kappa < 0.0:
         raise ValueError("grad_weight_kappa must be >= 0")
     field_w = loss_cfg.data_field_weights
+    if field_w and exp.pde.kind != "euler":
+        raise ValueError(
+            "data_field_weights applies to the multi-output Euler system; "
+            "for Burgers use loss.data_weight"
+        )
     if field_w and len(field_w) != len(EULER_FIELDS):
         raise ValueError(
             f"data_field_weights needs {len(EULER_FIELDS)} entries, "
@@ -413,7 +427,11 @@ def make_loss_fn(problem: Problem):
         aux = {
             "loss": loss,
             "data_term": data_term,
-            "res_term": res_term,
+            # logged as the weighted loss CONTRIBUTION so the decomposition
+            # loss = data_weight*data_term + res_term is additive and
+            # consistent with the L-BFGS-phase metric (which reconstructs it
+            # as loss - data_weight*data_term)
+            "res_term": loss_cfg.residual_weight * res_term,
             "lambda1": jnp.reshape(lam1, ()),
             "lambda2": jnp.reshape(lam2, ()),
         }
@@ -750,11 +768,27 @@ class Trainer:
             cfg = self.exp.sampling
             m_pool = cfg.rad_pool_factor * cfg.n_f
 
+            def pool_residuals(params, pool):
+                # keep per-chunk size at the trained config's n_f/microbatch
+                # bound: the pool is rad_pool_factor x larger, so it gets
+                # rad_pool_factor x the chunk count
+                m = cfg.microbatch * cfg.rad_pool_factor
+                if m <= 1:
+                    return problem.residuals(params, pool)
+                n = pool.shape[0]
+                chunks = pool.reshape(m, n // m, pool.shape[1])
+                out = jax.lax.map(
+                    lambda ch: problem.residuals(params, ch), chunks
+                )
+                return jax.tree_util.tree_map(
+                    lambda f: f.reshape(n, *f.shape[2:]), out
+                )
+
             def fn(state):
                 key, k1, k2 = jax.random.split(state.key, 3)
                 lb, ub = _curriculum_bounds(problem, state.epoch)
                 pool = uniform_box(k1, m_pool, lb, ub, problem.spec.dtype)
-                f = problem.residuals_chunked(state.params, pool)
+                f = pool_residuals(state.params, pool)
                 fs = f if isinstance(f, tuple) else (f,)
                 score = sum(jnp.abs(fi[:, 0]) for fi in fs)
                 pk = score ** cfg.rad_k

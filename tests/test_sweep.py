@@ -136,3 +136,24 @@ def test_sweep_serial_fallback_is_logged(capsys):
     assert all(r.status == "ok" for r in results)
     out = capsys.readouterr().out
     assert "serially" in out
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_sweep_rad_strategy_falls_back_to_serial():
+    """RAD configs can't vmapp-ensemble (re-draws live in Trainer.train) —
+    the group must degrade to serial runs and still succeed."""
+    base = override(
+        get_preset("abgrall_l2"),
+        {
+            "model.layers": (2, 8, 8, 1),
+            "sampling.n_f": 128,
+            "sampling.strategy": "rad",
+            "sampling.rad_pool_factor": 2,
+            "train.chunk": 10,
+            "optimizer.kind": "adam",
+        },
+    )
+    grid = cartesian_grid({"train.seed": [0, 1]})
+    results = run_sweep(base, grid, epochs=20)
+    assert len(results) == 2
+    assert all(r.status == "ok" for r in results)

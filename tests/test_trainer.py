@@ -304,9 +304,11 @@ def test_loss_weights_and_field_weights():
     state = tr.init_state()
     loss_fn = make_loss_fn(tr.problem)
     loss, aux = loss_fn(state.params, state.colloc, state.admm)
+    # res_term is logged as the WEIGHTED loss contribution (consistent with
+    # the L-BFGS-phase metric), so the decomposition is additive:
     np.testing.assert_allclose(
         float(loss),
-        10.0 * float(aux["data_term"]) + 0.5 * float(aux["res_term"]),
+        10.0 * float(aux["data_term"]) + float(aux["res_term"]),
         rtol=1e-6,
     )
 
@@ -408,3 +410,60 @@ def test_resolve_scan_unroll_policy():
     explicit = _small("abgrall_admm", **{"train.scan_unroll": 16})
     assert resolve_scan_unroll(explicit, "adam", 1000) == 16
     assert resolve_scan_unroll(explicit, "adam", 4) == 4    # clamp to chunk
+
+
+def test_data_field_weights_rejected_for_burgers():
+    from pinns_tpu.train.trainer import make_loss_fn
+
+    exp = _small("abgrall_l2", **{"loss.data_field_weights": (2.0,)})
+    with pytest.raises(ValueError, match="Euler"):
+        make_loss_fn(Trainer(exp).problem)
+
+
+def test_res_term_metric_decomposition_is_additive():
+    """aux must satisfy loss == data_weight*data_term + res_term in the
+    Adam phase (matching the L-BFGS phase's reconstruction)."""
+    from pinns_tpu.train.trainer import make_loss_fn
+
+    exp = _small(
+        "abgrall_l2",
+        **{"loss.residual_weight": 0.5, "loss.data_weight": 2.0},
+    )
+    tr = Trainer(exp)
+    state = tr.init_state()
+    loss, aux = make_loss_fn(tr.problem)(state.params, state.colloc, None)
+    np.testing.assert_allclose(
+        float(loss),
+        2.0 * float(aux["data_term"]) + float(aux["res_term"]),
+        rtol=1e-6,
+    )
+
+
+def test_rad_initial_batch_honors_curriculum():
+    exp = _small("abgrall_admm", **{
+        "sampling.strategy": "rad",
+        "sampling.t_curriculum_epochs": 1000,
+        "sampling.n_f": 512,
+    })
+    tr = Trainer(exp)
+    state = tr.init_state()
+    t_lo = float(tr.problem.lb[1])
+    t_hi = float(tr.problem.ub[1])
+    t0_max = float(np.asarray(state.colloc[:, 1]).max())
+    assert t0_max < t_lo + 0.12 * (t_hi - t_lo)
+
+
+def test_ensemble_stop_tol_stops_early():
+    from pinns_tpu.parallel.ensemble import run_ensemble
+
+    exp = _small("abgrall_l2", **{
+        "model.layers": (2, 8, 8, 1),
+        "sampling.n_f": 128,
+        "optimizer.kind": "adam",
+        "train.stop_tol": 1e6,  # trivially satisfied after one chunk
+        "train.chunk": 10,
+        "train.epochs": 1000,
+    })
+    tr = Trainer(exp)
+    _, summaries = run_ensemble(tr, seeds=[0, 1])
+    assert all(s["epochs"] < 1000 for s in summaries)
