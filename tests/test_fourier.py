@@ -121,3 +121,22 @@ def test_fourier_training_and_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fourier_composes_with_mixed_precision():
+    """The embedding is part of the exact first-layer input path — it must
+    compose with the bf16 stream policy without NaNs and stay close to the
+    full-precision result at init."""
+    spec_f32 = _spec(8)
+    import dataclasses
+
+    spec_mixed = dataclasses.replace(spec_f32, compute_dtype="bfloat16")
+    params = init_mlp(jax.random.key(7), spec_f32)
+    x = jax.random.uniform(jax.random.key(8), (64, 2))
+    y32 = mlp_taylor_2(spec_f32, params, x)
+    ymx = mlp_taylor_2(spec_mixed, params, x)
+    for a, b in zip(y32, ymx):
+        assert np.all(np.isfinite(np.asarray(b)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.1, atol=0.05
+        )
