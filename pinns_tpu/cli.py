@@ -215,8 +215,18 @@ def cmd_polish(args):
         jax.config.update("jax_platforms", "cpu")
     except RuntimeError:
         pass
+    # x64 is process-global; restore it on exit so in-process callers
+    # (tests, notebooks) don't inherit float64 default promotion
+    x64_before = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
+    try:
+        return _cmd_polish_x64(args)
+    finally:
+        jax.config.update("jax_enable_x64", x64_before)
 
+
+def _cmd_polish_x64(args):
+    import jax
     import jax.numpy as jnp
 
     from pinns_tpu.opt.lbfgs import lbfgs_minimize_pytree
