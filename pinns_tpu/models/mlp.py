@@ -215,19 +215,17 @@ def embed_streams(spec: MLPSpec, h: jax.Array):
     """Embedding value and its first/second derivative streams w.r.t. the
     RAW inputs (chain rule through the [-1,1] rescale included).
 
-    Returns (phi, dphi_dx, dphi_dt, d2phi_dx2), shapes (N, embed_dim); the
-    second-derivative entry is None without fourier (affine embedding).
+    Returns (phi, dphi_dx, dphi_dt, d2phi_dx2); the second-derivative entry
+    is None without fourier (affine embedding), and the tangents are then
+    constant (1, in_dim) rows — broadcasting them per-point would add a
+    per-layer (N,2) materialization the op-issue-bound narrow step pays
+    for. With fourier the tangents are genuinely per-point (N, embed_dim).
     Feeds the Taylor-mode initial streams (ops/taylor.py).
     """
     scale = input_scale(spec)  # (in_dim,)
     if not spec.fourier:
-        n = h.shape[0]
-        dx = jnp.broadcast_to(
-            jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale, (n, 2)
-        )
-        dt = jnp.broadcast_to(
-            jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale, (n, 2)
-        )
+        dx = jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale
+        dt = jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale
         return h, dx, dt, None
     bt = _fourier_b(spec)  # (in_dim, F)
     z = jnp.dot(h, bt, precision=spec.lax_precision)

@@ -144,8 +144,10 @@ def mlp_taylor_2_stacked(
     n = x.shape[0]
 
     h, hx, ht, hxx = embed_streams(spec, normalize_inputs(spec, x))
-    if hxx is None:
-        hxx = jnp.zeros_like(h)
+    # the stacked layout needs full-batch streams
+    hx = jnp.broadcast_to(hx, h.shape)
+    ht = jnp.broadcast_to(ht, h.shape)
+    hxx = jnp.zeros_like(h) if hxx is None else hxx
     s4 = jnp.concatenate([h, hx, ht, hxx], axis=0)  # (4N, embed_dim)
 
     for layer in params[:-1]:

@@ -430,8 +430,15 @@ def make_loss_fn(problem: Problem):
             # logged as the weighted loss CONTRIBUTION so the decomposition
             # loss = data_weight*data_term + res_term is additive and
             # consistent with the L-BFGS-phase metric (which reconstructs it
-            # as loss - data_weight*data_term)
-            "res_term": loss_cfg.residual_weight * res_term,
+            # as loss - data_weight*data_term). The conditional skips the
+            # no-op mul at the default weight, keeping the jitted step's HLO
+            # (and hence the persistent compile cache) identical for every
+            # default config.
+            "res_term": (
+                res_term
+                if loss_cfg.residual_weight == 1.0
+                else loss_cfg.residual_weight * res_term
+            ),
             "lambda1": jnp.reshape(lam1, ()),
             "lambda2": jnp.reshape(lam2, ()),
         }
