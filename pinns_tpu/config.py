@@ -47,6 +47,16 @@ class ModelConfig:
     n_fourier: int = 0
     fourier_sigma: float = 3.0
     fourier_seed: int = 0
+    # Trainable shock-path features (beyond-reference): n_paths > 0 appends
+    # features tanh(a_k (x_n - s_k(t_n))) to the first layer, with the path
+    # polynomials s_k (degree path_degree, normalized time) and sharpnesses
+    # a_k TRAINED alongside the weights — a steep-but-smooth moving front
+    # whose location the optimizer discovers, the representation lever for
+    # shock/contact plateaus (PARITY.md §4c/§4d). Exact derivative streams
+    # (models/mlp.py `_path_streams`).
+    n_paths: int = 0
+    path_degree: int = 2
+    path_sharpness: float = 8.0
 
 
 @_frozen

@@ -79,6 +79,21 @@ class MLPSpec:
     # no embedding. Build with `fourier_matrix(...)` (ModelConfig knobs
     # n_fourier / fourier_sigma / fourier_seed).
     fourier: tuple = ()
+    # Trainable shock-path features (beyond-reference): n_paths > 0 appends
+    # K = n_paths coordinate features phi_k = tanh(a_k * (x_n - s_k(t_n)))
+    # to the first-layer input, where s_k is a trainable degree-`path_degree`
+    # polynomial in normalized time and a_k a trainable sharpness
+    # (initialized to path_sharpness). Each feature is a steep-but-smooth
+    # moving front the trunk can compose to localize a shock/contact jump
+    # whose PATH the optimizer discovers — the representation lever for the
+    # discontinuity plateaus (PARITY.md §4c/§4d: the contact/shock error is
+    # a representation limit of the smooth trunk, not an information limit).
+    # The path parameters live in params[0] ('path_c' (K, degree+1),
+    # 'path_a' (K,)), so they train, ensemble-vmap, checkpoint, and shard
+    # like any weight. Derivative streams propagate exactly (all-smooth ops).
+    n_paths: int = 0
+    path_degree: int = 2
+    path_sharpness: float = 8.0
 
     def __post_init__(self):
         if self.compute_dtype is not None:
@@ -105,6 +120,12 @@ class MLPSpec:
             raise ValueError(
                 f"lb/ub must have length layers[0]={self.layers[0]}, "
                 f"got {len(self.lb)}/{len(self.ub)}"
+            )
+        if self.n_paths < 0 or self.path_degree < 0:
+            raise ValueError("n_paths and path_degree must be >= 0")
+        if self.n_paths and self.layers[0] != 2:
+            raise ValueError(
+                "shock-path features assume (x, t) inputs (in_dim == 2)"
             )
 
     @property
@@ -134,8 +155,8 @@ class MLPSpec:
 
     @property
     def embed_dim(self) -> int:
-        """First-layer input width: raw coords plus sin/cos feature pairs."""
-        return self.in_dim + 2 * self.n_fourier
+        """First-layer input width: raw coords, sin/cos pairs, path features."""
+        return self.in_dim + 2 * self.n_fourier + self.n_paths
 
     @property
     def out_dim(self) -> int:
@@ -144,9 +165,10 @@ class MLPSpec:
     @property
     def n_params(self) -> int:
         widths = (self.embed_dim,) + self.layers[1:]
-        return sum(
+        n = sum(
             din * dout + dout for din, dout in zip(widths[:-1], widths[1:])
         )
+        return n + self.n_paths * (self.path_degree + 2)  # path_c + path_a
 
 
 def init_mlp(key: jax.Array, spec: MLPSpec) -> Params:
@@ -167,6 +189,18 @@ def init_mlp(key: jax.Array, spec: MLPSpec) -> Params:
         )
         b = jnp.zeros((1, dout), dtype=spec.dtype)
         params.append({"W": w, "b": b})
+    if spec.n_paths:
+        # Trainable shock-path features ride on the first layer's dict so
+        # every pytree transform (optax, vmap ensembles, L-BFGS flatten,
+        # checkpoints, tp shardings) carries them without special cases.
+        # Initial paths: constant-in-time fronts spread across the domain
+        # interior (deterministic — the optimizer moves them), sharpness
+        # from the spec.
+        k = spec.n_paths
+        c = jnp.zeros((k, spec.path_degree + 1), dtype=spec.dtype)
+        centers = (2.0 * (jnp.arange(k, dtype=spec.dtype) + 0.5) / k) - 1.0
+        params[0]["path_c"] = c.at[:, 0].set(centers)
+        params[0]["path_a"] = jnp.full((k,), spec.path_sharpness, spec.dtype)
     return params
 
 
@@ -203,50 +237,100 @@ def _fourier_b(spec: MLPSpec) -> jax.Array:
     return 2.0 * jnp.pi * b.T
 
 
-def embed_inputs(spec: MLPSpec, h: jax.Array) -> jax.Array:
-    """[h, sin z, cos z] with z = 2*pi*(h @ B^T); identity when no fourier."""
-    if not spec.fourier:
-        return h
-    z = jnp.dot(h, _fourier_b(spec), precision=spec.lax_precision)
-    return jnp.concatenate([h, jnp.sin(z), jnp.cos(z)], axis=1)
+def _path_streams(spec: MLPSpec, layer0: dict, h: jax.Array):
+    """Shock-path features of the NORMALIZED coords h = (x_n, t_n) and their
+    derivative streams w.r.t. the RAW inputs.
+
+    phi_k = tanh(z_k), z_k = a_k * (x_n - s_k(t_n)),
+    s_k(t_n) = sum_j c_kj t_n^j (trainable c, a in layer0).
+
+    Returns (phi, phi_x, phi_t, phi_xx), each (N, K). All-smooth closed
+    forms: phi' = 1 - phi^2, phi'' = -2 phi phi'; the time chain runs
+    through s'(t_n), and the [-1,1] rescale contributes input_scale factors.
+    """
+    c = layer0["path_c"]  # (K, D+1)
+    a = layer0["path_a"]  # (K,)
+    scale = input_scale(spec)
+    xn, tn = h[:, 0:1], h[:, 1:2]
+    deg = spec.path_degree
+    powers = jnp.concatenate(
+        [tn**j for j in range(deg + 1)], axis=1
+    )  # (N, D+1); t^0 = 1
+    s = jnp.dot(powers, c.T, precision=spec.lax_precision)  # (N, K)
+    if deg >= 1:
+        dpow = jnp.concatenate(
+            [float(j) * tn ** (j - 1) for j in range(1, deg + 1)], axis=1
+        )  # (N, D)
+        sp = jnp.dot(dpow, c[:, 1:].T, precision=spec.lax_precision)
+    else:
+        sp = jnp.zeros_like(s)
+    z = a * (xn - s)
+    phi = jnp.tanh(z)
+    d1 = 1.0 - phi * phi
+    d2 = -2.0 * phi * d1
+    zx = a * scale[0]  # (K,) — constant per path
+    zt = -(a * scale[1]) * sp  # (N, K)
+    return phi, d1 * zx, d1 * zt, d2 * (zx * zx)
 
 
-def embed_streams(spec: MLPSpec, h: jax.Array):
+def embed_inputs(spec: MLPSpec, h: jax.Array, layer0: dict = None) -> jax.Array:
+    """[h, sin z, cos z, paths]; identity when no fourier and no paths."""
+    if spec.fourier:
+        z = jnp.dot(h, _fourier_b(spec), precision=spec.lax_precision)
+        out = jnp.concatenate([h, jnp.sin(z), jnp.cos(z)], axis=1)
+    else:
+        out = h
+    if spec.n_paths:
+        phi, _, _, _ = _path_streams(spec, layer0, h)
+        out = jnp.concatenate([out, phi], axis=1)
+    return out
+
+
+def embed_streams(spec: MLPSpec, h: jax.Array, layer0: dict = None):
     """Embedding value and its first/second derivative streams w.r.t. the
     RAW inputs (chain rule through the [-1,1] rescale included).
 
     Returns (phi, dphi_dx, dphi_dt, d2phi_dx2); the second-derivative entry
-    is None without fourier (affine embedding), and the tangents are then
-    constant (1, in_dim) rows — broadcasting them per-point would add a
-    per-layer (N,2) materialization the op-issue-bound narrow step pays
-    for. With fourier the tangents are genuinely per-point (N, embed_dim).
-    Feeds the Taylor-mode initial streams (ops/taylor.py).
+    is None without fourier/paths (affine embedding), and the tangents are
+    then constant (1, in_dim) rows — broadcasting them per-point would add
+    a per-layer (N,2) materialization the op-issue-bound narrow step pays
+    for. With fourier or shock-path features the tangents are genuinely
+    per-point (N, embed_dim). Feeds the Taylor-mode initial streams
+    (ops/taylor.py). `layer0` (params[0]) carries the trainable path
+    parameters when spec.n_paths > 0.
     """
     scale = input_scale(spec)  # (in_dim,)
-    if not spec.fourier:
+    if not spec.fourier and not spec.n_paths:
         dx = jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale
         dt = jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale
         return h, dx, dt, None
-    bt = _fourier_b(spec)  # (in_dim, F)
-    z = jnp.dot(h, bt, precision=spec.lax_precision)
-    sin_z, cos_z = jnp.sin(z), jnp.cos(z)
     zeros = jnp.zeros_like(h)
-    # d z / d raw_x = scale_x * bt[0], / d raw_t = scale_t * bt[1]
-    zx = scale[0] * bt[0]  # (F,)
-    zt = scale[1] * bt[1]
     ex = jnp.broadcast_to(
         jnp.array([[1.0, 0.0]], dtype=spec.dtype) * scale, h.shape
     )
     et = jnp.broadcast_to(
         jnp.array([[0.0, 1.0]], dtype=spec.dtype) * scale, h.shape
     )
-    phi = jnp.concatenate([h, sin_z, cos_z], axis=1)
-    dphi_dx = jnp.concatenate([ex, cos_z * zx, -sin_z * zx], axis=1)
-    dphi_dt = jnp.concatenate([et, cos_z * zt, -sin_z * zt], axis=1)
-    d2phi_dx2 = jnp.concatenate(
-        [zeros, -sin_z * zx * zx, -cos_z * zx * zx], axis=1
-    )
-    return phi, dphi_dx, dphi_dt, d2phi_dx2
+    vals, dxs, dts, dxxs = [h], [ex], [et], [zeros]
+    if spec.fourier:
+        bt = _fourier_b(spec)  # (in_dim, F)
+        z = jnp.dot(h, bt, precision=spec.lax_precision)
+        sin_z, cos_z = jnp.sin(z), jnp.cos(z)
+        # d z / d raw_x = scale_x * bt[0], / d raw_t = scale_t * bt[1]
+        zx = scale[0] * bt[0]  # (F,)
+        zt = scale[1] * bt[1]
+        vals += [sin_z, cos_z]
+        dxs += [cos_z * zx, -sin_z * zx]
+        dts += [cos_z * zt, -sin_z * zt]
+        dxxs += [-sin_z * zx * zx, -cos_z * zx * zx]
+    if spec.n_paths:
+        phi, phi_x, phi_t, phi_xx = _path_streams(spec, layer0, h)
+        vals.append(phi)
+        dxs.append(phi_x)
+        dts.append(phi_t)
+        dxxs.append(phi_xx)
+    cat = lambda xs: jnp.concatenate(xs, axis=1)  # noqa: E731
+    return cat(vals), cat(dxs), cat(dts), cat(dxxs)
 
 
 def mlp_apply(spec: MLPSpec, params: Params, x: jax.Array) -> jax.Array:
@@ -255,7 +339,7 @@ def mlp_apply(spec: MLPSpec, params: Params, x: jax.Array) -> jax.Array:
     x: (N, in_dim) -> (N, out_dim). Matches ``neural_net``
     (``Abgrall_ADMM.py:153-164``) semantics (plus the optional embedding).
     """
-    h = embed_inputs(spec, normalize_inputs(spec, x))
+    h = embed_inputs(spec, normalize_inputs(spec, x), params[0])
     prec = spec.lax_precision
     for layer in params[:-1]:
         h = jnp.tanh(jnp.dot(h, layer["W"], precision=prec) + layer["b"])

@@ -108,10 +108,10 @@ def mlp_forward_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused forward pass; numerically equivalent to ``mlp_apply``."""
-    if spec.fourier:
+    if spec.fourier or spec.n_paths:
         raise ValueError(
             "pallas kernels implement the plain normalize->tanh model; "
-            "Fourier-embedded specs use the XLA path (mlp_apply)"
+            "Fourier/path-embedded specs use the XLA path (mlp_apply)"
         )
     tile = tile or auto_tile(spec, streams=1)
     n_layers = len(params)
@@ -286,10 +286,10 @@ def mlp_taylor2_pallas(
     Narrow nets (all dims <= 32, e.g. the reference's 8x20) dispatch to the
     lane-packed kernel; wider nets use the sublane-stacked kernel.
     """
-    if spec.fourier:
+    if spec.fourier or spec.n_paths:
         raise ValueError(
             "pallas kernels implement the plain normalize->tanh model; "
-            "Fourier-embedded specs use the XLA path (mlp_taylor_2)"
+            "Fourier/path-embedded specs use the XLA path (mlp_taylor_2)"
         )
     if max(spec.layers) <= _BLOCK:
         return _taylor2_packed(

@@ -108,7 +108,7 @@ def mlp_taylor_1(
 
     # Initial streams: value + tangent rows of the (possibly Fourier-
     # embedded) normalized inputs, chain rule through the rescale included.
-    h, hx, ht, _ = embed_streams(spec, normalize_inputs(spec, x))
+    h, hx, ht, _ = embed_streams(spec, normalize_inputs(spec, x), params[0])
 
     for i, layer in enumerate(params[:-1]):
         w, b = layer["W"], layer["b"]
@@ -143,7 +143,7 @@ def mlp_taylor_2_stacked(
     prec = spec.lax_precision
     n = x.shape[0]
 
-    h, hx, ht, hxx = embed_streams(spec, normalize_inputs(spec, x))
+    h, hx, ht, hxx = embed_streams(spec, normalize_inputs(spec, x), params[0])
     # the stacked layout needs full-batch streams
     hx = jnp.broadcast_to(hx, h.shape)
     ht = jnp.broadcast_to(ht, h.shape)
@@ -184,7 +184,7 @@ def mlp_taylor_2(
 
     # hxx is None (identically zero) for the affine rescale; the Fourier
     # embedding adds a nonzero curvature stream -B^2 sin/cos.
-    h, hx, ht, hxx = embed_streams(spec, normalize_inputs(spec, x))
+    h, hx, ht, hxx = embed_streams(spec, normalize_inputs(spec, x), params[0])
 
     for i, layer in enumerate(params[:-1]):
         w, b = layer["W"], layer["b"]

@@ -93,7 +93,13 @@ def tp_param_shardings(params, mesh, axis: str = ENSEMBLE_AXIS) -> Any:
     for i, layer in enumerate(net):
         w_shard = col if i < n - 1 else row  # head contracts the sharded dim
         b_shard = col if i < n - 1 else repl
-        out.append({"W": w_shard, "b": b_shard})
+        # extra first-layer keys (shock-path parameters) are tiny: replicate
+        out.append(
+            {
+                k: {"W": w_shard, "b": b_shard}.get(k, repl)
+                for k in layer
+            }
+        )
     return {
         "net": out,
         "coeffs": jax.tree_util.tree_map(lambda _: repl, params["coeffs"]),

@@ -218,6 +218,9 @@ def build_problem(exp: Experiment) -> Problem:
         keep_streams=exp.model.keep_streams,
         mixed_elementwise=exp.model.mixed_elementwise,
         fourier=fourier,
+        n_paths=exp.model.n_paths,
+        path_degree=exp.model.path_degree,
+        path_sharpness=exp.model.path_sharpness,
     )
     return Problem(
         exp=exp,
