@@ -128,6 +128,15 @@ class LossConfig:
     # weighted field w*f; the indicator is stop-gradiented so the weights
     # steer, not train.
     grad_weight_kappa: float = 0.0
+    # causal_eps > 0 replaces the 'mean_sq' residual penalty with the
+    # causal-in-time weighting of Wang, Sankaran & Perdikaris (2022): the
+    # time domain splits into causal_bins uniform bins and bin b's mean-sq
+    # residual is weighted by stop_grad(exp(-eps * cumulative earlier-bin
+    # loss)) — later times only count once earlier times are fit, the
+    # training-dynamics remedy for solutions that must propagate forward
+    # from the IC (shock formation). mean_sq residual_kind only.
+    causal_eps: float = 0.0
+    causal_bins: int = 32
     # entropy_weight > 0 adds a pointwise entropy-admissibility penalty that
     # selects the entropy solution among weak solutions the residual alone
     # cannot distinguish. Burgers: mean(relu(U_t + F_x)^2) for the entropy

@@ -25,6 +25,7 @@ after the psum).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 DATA_MISFIT_KINDS = ("mse_sum", "l2_norm")
@@ -51,3 +52,45 @@ def residual_penalty(f: jnp.ndarray, kind: str, n: int):
         s = jnp.sum(jnp.abs(f))
         return s * s / n
     raise ValueError(f"unknown residual penalty kind: {kind!r}")
+
+
+def causal_residual_penalty(residuals, t, t_lb, t_ub, eps: float, bins: int):
+    """Causal-in-time mean-square residual (beyond-reference; Wang, Sankaran
+    & Perdikaris 2022, "Respecting causality"): the residual at later times
+    only counts once earlier times are fit.
+
+    The time domain is split into `bins` uniform bins; with L_b the mean
+    squared residual in bin b (summed over fields for systems), the term is
+
+        (1/B) sum_b w_b L_b,   w_b = stop_grad(exp(-eps * sum_{b'<b} L_b')).
+
+    Exact forward-causal weights per batch — no persistent state, so it
+    composes with per-step resampling (segment reductions are a fixed-shape
+    scatter-add, jit/vmap/shard friendly). At eps=0 every w_b = 1 and the
+    term reduces to the plain bin-averaged mean-square.
+
+    Args:
+      residuals: (N, 1) array or tuple of them (system: fields are summed
+        pointwise before binning, and the weights are shared — the causal
+        structure is the PDE's, not per-equation).
+      t: (N,) or (N, 1) time coordinate of each collocation point.
+      t_lb / t_ub: time-domain bounds (bins span [t_lb, t_ub]).
+      eps: causality strength (0 disables the weighting but keeps binning).
+      bins: number of time bins (static).
+
+    Returns (term, weights) — the scalar loss term and the (bins,) weight
+    vector (diagnostic; min(w) -> 1 signals the solve is converged in
+    causal terms).
+    """
+    if not isinstance(residuals, tuple):
+        residuals = (residuals,)
+    sq = sum(jnp.sum(f * f, axis=tuple(range(1, f.ndim))) for f in residuals)
+    tt = t.reshape(-1)
+    frac = (tt - t_lb) / (t_ub - t_lb)
+    idx = jnp.clip((frac * bins).astype(jnp.int32), 0, bins - 1)
+    sums = jax.ops.segment_sum(sq, idx, num_segments=bins)
+    counts = jax.ops.segment_sum(jnp.ones_like(sq), idx, num_segments=bins)
+    l_b = sums / jnp.maximum(counts, 1.0)
+    prefix = jnp.cumsum(l_b) - l_b  # exclusive: earlier bins only
+    w = jax.lax.stop_gradient(jnp.exp(-eps * prefix))
+    return jnp.mean(w * l_b), w

@@ -52,7 +52,11 @@ from pinns_tpu.losses.admm import (
     admm_penalty,
     admm_update,
 )
-from pinns_tpu.losses.misfit import data_misfit, residual_penalty
+from pinns_tpu.losses.misfit import (
+    causal_residual_penalty,
+    data_misfit,
+    residual_penalty,
+)
 from pinns_tpu.models.mlp import MLPSpec, fourier_matrix, init_mlp, mlp_apply
 from pinns_tpu.opt.lbfgs import lbfgs_minimize
 from pinns_tpu.ops.residuals import (
@@ -303,12 +307,28 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     rho = cfg.rho if rho is None else rho
     ew = cfg.entropy_weight
 
+    if cfg.causal_eps > 0.0 and (cfg.residual_kind != "mean_sq" or m > 1):
+        raise ValueError(
+            "loss.causal_eps requires residual_kind='mean_sq' and "
+            "sampling.microbatch=1 (the weights need the whole batch's "
+            "time-bin losses in one pass)"
+        )
+
     if m <= 1:
         residuals, ent = problem.residuals_and_entropy(
             params, colloc, ew > 0.0
         )
         if cfg.residual_kind == "admm":
             term = admm_penalty(residuals, admm_state, rho, cfg.explicit_inner)
+        elif cfg.causal_eps > 0.0:
+            term, _ = causal_residual_penalty(
+                residuals,
+                colloc[:, 1],
+                problem.lb[1],
+                problem.ub[1],
+                cfg.causal_eps,
+                cfg.causal_bins,
+            )
         elif isinstance(residuals, tuple):
             term = sum(
                 residual_penalty(f, cfg.residual_kind, n_f) for f in residuals
