@@ -106,7 +106,19 @@ class SamplingConfig:
 @_frozen
 class LossConfig:
     data_kind: str = "mse_sum"  # 'mse_sum' | 'l2_norm'
-    residual_kind: str = "admm"  # 'mean_sq'|'l2_sq_norm'|'l1_sq_norm'|'admm'
+    # 'flux' (beyond-reference) replaces the pointwise strong-form residual
+    # with the weak-form finite-volume conservation residual over space-time
+    # control volumes centered at the collocation points (ops/weakform.py):
+    # discontinuous weak solutions satisfy it exactly, so gradient descent
+    # stops fighting sharp fronts — the formulation remedy for the shock/
+    # contact plateaus. entropy_weight then uses the WEAK entropy
+    # inequality on the same cells (selects the admissible solution).
+    residual_kind: str = "admm"  # 'mean_sq'|'l2_sq_norm'|'l1_sq_norm'|'admm'|'flux'
+    # Control-volume half-widths as fractions of the domain extents, and
+    # Gauss-Legendre nodes per cell edge, for residual_kind='flux'.
+    flux_dx_frac: float = 0.02
+    flux_dt_frac: float = 0.02
+    flux_quad: int = 4
     rho: float = 10.0  # ADMM penalty (the Euler script calls it `pen`)
     # Loss-balance knobs (beyond-reference; the reference hardcodes 1.0):
     # total = data_weight * data + residual_weight * residual. For

@@ -64,6 +64,10 @@ from pinns_tpu.ops.residuals import (
     euler_entropy_production,
     euler_residuals_aux,
 )
+from pinns_tpu.ops.weakform import (
+    burgers_flux_residual,
+    euler_flux_residuals,
+)
 from pinns_tpu.train import checkpoint as ckpt_io
 from pinns_tpu.train.evaluate import predict_fields, relative_l2
 from pinns_tpu.train.metrics import MetricsLogger
@@ -166,6 +170,28 @@ class Problem:
         """PDE residual(s) at collocation points: array (Burgers) or tuple
         (see residuals_and_entropy for the gradient-weighting semantics)."""
         return self.residuals_and_entropy(params, colloc, False)[0]
+
+    def flux_residuals_and_entropy(self, params, centers, want_entropy: bool):
+        """Weak-form control-volume residuals at cell centers, plus the
+        weak entropy-inequality violation (loss.residual_kind='flux';
+        ops/weakform.py). Inviscid Burgers and Euler cells are pure forward
+        evaluations — no derivatives anywhere near a front."""
+        cfg = self.exp.loss
+        hx = cfg.flux_dx_frac * float(self.ub[0] - self.lb[0])
+        ht = cfg.flux_dt_frac * float(self.ub[1] - self.lb[1])
+        if self.exp.pde.kind == "burgers":
+            lam1, lam2 = self.effective_coeffs(params)
+            viscous = (
+                self.exp.pde.train_coeffs or self.exp.pde.lambda2 != 0.0
+            )
+            return burgers_flux_residual(
+                self.spec, params["net"], centers, lam1, lam2,
+                hx, ht, cfg.flux_quad, want_entropy, viscous,
+            )
+        return euler_flux_residuals(
+            self.spec, params["net"], centers, self.exp.pde.gamma,
+            hx, ht, cfg.flux_quad, want_entropy,
+        )
 
     def entropy_sq(self, params, colloc):
         """Per-point squared entropy-admissibility violation (see
@@ -307,12 +333,43 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     rho = cfg.rho if rho is None else rho
     ew = cfg.entropy_weight
 
-    if cfg.causal_eps > 0.0 and (cfg.residual_kind != "mean_sq" or m > 1):
+    if cfg.causal_eps > 0.0 and (
+        cfg.residual_kind not in ("mean_sq", "flux") or m > 1
+    ):
         raise ValueError(
-            "loss.causal_eps requires residual_kind='mean_sq' and "
+            "loss.causal_eps requires residual_kind='mean_sq' or 'flux' and "
             "sampling.microbatch=1 (the weights need the whole batch's "
             "time-bin losses in one pass)"
         )
+
+    if cfg.residual_kind == "flux":
+        if m > 1:
+            raise ValueError(
+                "residual_kind='flux' does not support microbatching yet"
+            )
+        if cfg.grad_weight_kappa > 0.0:
+            raise ValueError(
+                "grad_weight_kappa is a strong-form pointwise knob; it does "
+                "not apply to the weak-form 'flux' residual"
+            )
+        residuals, ent = problem.flux_residuals_and_entropy(
+            params, colloc, ew > 0.0
+        )
+        if cfg.causal_eps > 0.0:
+            term, _ = causal_residual_penalty(
+                residuals,
+                colloc[:, 1],
+                problem.lb[1],
+                problem.ub[1],
+                cfg.causal_eps,
+                cfg.causal_bins,
+            )
+        else:
+            rs = residuals if isinstance(residuals, tuple) else (residuals,)
+            term = sum(jnp.mean(f * f) for f in rs)
+        if ew > 0.0:
+            term = term + ew * jnp.sum(ent) / n_f
+        return term
 
     if m <= 1:
         residuals, ent = problem.residuals_and_entropy(

@@ -1,0 +1,140 @@
+"""Weak-form control-volume residuals (LossConfig.residual_kind='flux'):
+quadrature correctness vs dense numerical integration, smooth-limit
+consistency with the strong-form residuals, entropy-inequality sign, config
+validation, and training smokes for both PDEs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import get_preset
+from pinns_tpu.models.mlp import MLPSpec, init_mlp, mlp_apply
+from pinns_tpu.ops.residuals import burgers_residual, euler_residuals
+from pinns_tpu.ops.weakform import (
+    burgers_flux_residual,
+    euler_flux_residuals,
+)
+from pinns_tpu.train import Trainer
+
+SPEC1 = MLPSpec(layers=(2, 16, 16, 1), lb=(-1.0, 0.0), ub=(1.0, 1.0))
+SPEC3 = MLPSpec(layers=(2, 16, 16, 3), lb=(-1.0, 0.0), ub=(1.0, 1.0))
+
+
+def _centers(n=64, seed=2, margin=0.1):
+    return jax.random.uniform(
+        jax.random.key(seed), (n, 2),
+        minval=jnp.array([-1.0 + margin, margin]),
+        maxval=jnp.array([1.0 - margin, 1.0 - margin]),
+    )
+
+
+def test_flux_matches_strong_residual_in_smooth_limit():
+    """For a smooth (random-init) network the cell-mean conservation
+    residual equals the strong residual at the center to O(h^2)."""
+    params = init_mlp(jax.random.key(0), SPEC1)
+    centers = _centers()
+    _, f_strong = burgers_residual(SPEC1, params, centers, 1.0, 0.0031831)
+    errs = []
+    for h in (0.04, 0.02, 0.01):
+        r, _ = burgers_flux_residual(
+            SPEC1, params, centers, 1.0, 0.0031831, h, h,
+            quad=4, viscous=True,
+        )
+        errs.append(np.max(np.abs(np.asarray(r - f_strong))))
+    assert errs[-1] < 2e-3
+    # ~4x error reduction per halving (second order)
+    assert errs[0] / errs[-1] > 8.0
+
+
+def test_flux_quadrature_matches_dense_integration():
+    """GL edge quadrature + measure normalization vs a dense trapezoid
+    integration of the same network on one cell."""
+    params = init_mlp(jax.random.key(1), SPEC1)
+    xc, tc, h = 0.3, 0.5, 0.07
+    r, _ = burgers_flux_residual(
+        SPEC1, params, jnp.array([[xc, tc]]), 1.0, 0.0, h, h,
+        quad=6, viscous=False,
+    )
+    xs = np.linspace(xc - h, xc + h, 4001)
+    ts = np.linspace(tc - h, tc + h, 4001)
+
+    def u(x, t):
+        pts = jnp.stack([jnp.asarray(x), jnp.asarray(t)], axis=-1).reshape(-1, 2)
+        return np.asarray(mlp_apply(SPEC1, params, pts))[:, 0]
+
+    top = np.trapezoid(u(xs, np.full_like(xs, tc + h)), xs)
+    bot = np.trapezoid(u(xs, np.full_like(xs, tc - h)), xs)
+    rig = np.trapezoid(0.5 * u(np.full_like(ts, xc + h), ts) ** 2, ts)
+    lef = np.trapezoid(0.5 * u(np.full_like(ts, xc - h), ts) ** 2, ts)
+    expected = (top - bot + rig - lef) / (4.0 * h * h)
+    np.testing.assert_allclose(float(r[0, 0]), expected, rtol=1e-3, atol=1e-5)
+
+
+def test_euler_flux_matches_strong_residuals():
+    params = init_mlp(jax.random.key(3), SPEC3)
+    centers = _centers(seed=4)
+    _, f_strong = euler_residuals(SPEC3, params, centers, 1.4)
+    (r1, r2, r3), ent = euler_flux_residuals(
+        SPEC3, params, centers, 1.4, 0.01, 0.01, quad=4, want_entropy=True
+    )
+    for r, f in zip((r1, r2, r3), f_strong):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(f), rtol=0.05, atol=5e-3
+        )
+    assert ent.shape == (centers.shape[0], 1)
+    assert np.all(np.asarray(ent) >= 0.0)
+
+
+def test_cells_clip_to_domain():
+    """Centers on the boundary produce clipped (smaller) cells, not
+    out-of-domain evaluations; residuals stay finite."""
+    params = init_mlp(jax.random.key(5), SPEC1)
+    centers = jnp.array([[-1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+    r, _ = burgers_flux_residual(
+        SPEC1, params, centers, 1.0, 0.0, 0.05, 0.05, viscous=False
+    )
+    assert np.all(np.isfinite(np.asarray(r)))
+
+
+def test_flux_rejects_grad_weighting():
+    exp = override(get_preset("abgrall_admm"), {
+        "loss.residual_kind": "flux",
+        "loss.grad_weight_kappa": 1.0,
+        "train.epochs": 10,
+        "train.chunk": 10,
+        "sampling.n_f": 64,
+    })
+    with pytest.raises(ValueError, match="strong-form"):
+        Trainer(exp).train()
+
+
+def test_flux_training_smoke_burgers():
+    exp = override(get_preset("abgrall_admm"), {
+        "model.layers": (2, 16, 16, 1),
+        "loss.residual_kind": "flux",
+        "loss.entropy_weight": 1.0,
+        "optimizer.kind": "adam",
+        "train.epochs": 200,
+        "train.chunk": 100,
+        "sampling.n_f": 256,
+    })
+    _, summary = Trainer(exp).train()
+    assert np.isfinite(summary["rel_l2_u"])
+
+
+def test_flux_training_smoke_euler_with_causal():
+    exp = override(get_preset("euler_admm"), {
+        "model.layers": (2, 20, 20, 3),
+        "loss.residual_kind": "flux",
+        "loss.causal_eps": 1.0,
+        "loss.causal_bins": 8,
+        "optimizer.kind": "adam",
+        "train.epochs": 100,
+        "train.chunk": 50,
+        "sampling.n_f": 128,
+    })
+    _, summary = Trainer(exp).train()
+    for k in ("rel_l2_rho", "rel_l2_u", "rel_l2_E"):
+        assert np.isfinite(summary[k])
