@@ -119,6 +119,13 @@ class LossConfig:
     flux_dx_frac: float = 0.02
     flux_dt_frac: float = 0.02
     flux_quad: int = 4
+    # With residual_kind='admm', which residual the ADMM machinery (penalty,
+    # z/dual prox updates, misfit monitor) regularizes: 'strong' is the
+    # reference's pointwise residual; 'flux' (beyond-reference) runs the
+    # SAME L1/ADMM study on the weak-form control-volume residual — the
+    # reference's research program on the formulation that is actually
+    # defined at shocks.
+    admm_form: str = "strong"
     rho: float = 10.0  # ADMM penalty (the Euler script calls it `pen`)
     # Loss-balance knobs (beyond-reference; the reference hardcodes 1.0):
     # total = data_weight * data + residual_weight * residual. For

@@ -198,6 +198,22 @@ class Problem:
         residuals_and_entropy)."""
         return self.residuals_and_entropy(params, colloc, True)[1]
 
+    @property
+    def admm_flux(self) -> bool:
+        """ADMM regularizes the weak-form flux residual (loss.admm_form)."""
+        return (
+            self.exp.loss.residual_kind == "admm"
+            and self.exp.loss.admm_form == "flux"
+        )
+
+    def admm_residuals(self, params, colloc):
+        """The residual field the ADMM machinery (init, z/dual updates,
+        misfit) operates on: strong-form (reference semantics) or weak-form
+        flux, per loss.admm_form. Shapes are identical either way."""
+        if self.admm_flux:
+            return self.flux_residuals_and_entropy(params, colloc, False)[0]
+        return self.residuals_chunked(params, colloc)
+
     def residuals_chunked(self, params, colloc):
         """Residuals over the full batch, evaluated microbatch-by-microbatch
         (lax.map) so peak activation memory is n_f/microbatch — used by the
@@ -371,10 +387,23 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
             term = term + ew * jnp.sum(ent) / n_f
         return term
 
-    if m <= 1:
-        residuals, ent = problem.residuals_and_entropy(
-            params, colloc, ew > 0.0
+    if cfg.residual_kind == "admm" and cfg.admm_form == "flux" and (
+        m > 1 or cfg.grad_weight_kappa > 0.0
+    ):
+        raise ValueError(
+            "loss.admm_form='flux' supports neither microbatching nor "
+            "grad_weight_kappa (strong-form pointwise knob)"
         )
+
+    if m <= 1:
+        if problem.admm_flux:
+            residuals, ent = problem.flux_residuals_and_entropy(
+                params, colloc, ew > 0.0
+            )
+        else:
+            residuals, ent = problem.residuals_and_entropy(
+                params, colloc, ew > 0.0
+            )
         if cfg.residual_kind == "admm":
             term = admm_penalty(residuals, admm_state, rho, cfg.explicit_inner)
         elif cfg.causal_eps > 0.0:
@@ -535,7 +564,7 @@ def _post_update_current(
     for the next step."""
     exp = problem.exp
     rho_val = exp.loss.rho if rho is None else rho
-    f_cur = problem.residuals_chunked(params, colloc)
+    f_cur = problem.admm_residuals(params, colloc)
     admm_state = admm_update(f_cur, admm_state, rho_val, colloc.shape[0])
     mis = admm_misfit(f_cur, admm_state)
     if exp.sampling.strategy == "resample_uniform":
@@ -555,7 +584,7 @@ def _post_update(
     mis = jnp.zeros((), problem.spec.dtype)
     if exp.loss.residual_kind == "admm":
         rho_val = exp.loss.rho if rho is None else rho
-        f_new = problem.residuals_chunked(params, colloc)
+        f_new = problem.admm_residuals(params, colloc)
         # threshold normalizer = ACTUAL residual row count (anchored sets are
         # larger than sampling.n_f; reference uses N_r = x_f.shape[0],
         # Hwan_L1Regularization_ADMM_Burgers.py:56,93)
@@ -815,7 +844,7 @@ class Trainer:
         if exp.loss.residual_kind == "admm":
             # z = r(w_0) at the initial collocation set, dual = 1
             # (Abgrall_ADMM.py:92-97)
-            f0 = self.problem.residuals_chunked(params, colloc)
+            f0 = self.problem.admm_residuals(params, colloc)
             admm_state = admm_init(f0)
         return TrainState(
             params=params,
@@ -891,7 +920,7 @@ class Trainer:
                 admm = state.admm
                 if admm is not None:
                     admm = admm_init(
-                        problem.residuals_chunked(state.params, colloc)
+                        problem.admm_residuals(state.params, colloc)
                     )
                 return state._replace(colloc=colloc, key=key, admm=admm)
 

@@ -124,6 +124,38 @@ def test_flux_training_smoke_burgers():
     assert np.isfinite(summary["rel_l2_u"])
 
 
+def test_admm_over_flux_training_smoke():
+    """loss.admm_form='flux': the reference's L1/ADMM machinery regularizes
+    the weak-form residual — init, penalty, z/dual updates, and misfit all
+    run on cell residuals."""
+    exp = override(get_preset("abgrall_admm"), {
+        "model.layers": (2, 16, 16, 1),
+        "loss.admm_form": "flux",
+        "optimizer.kind": "adam",
+        "train.epochs": 200,
+        "train.chunk": 100,
+        "sampling.n_f": 256,
+    })
+    tr = Trainer(exp)
+    state = tr.init_state()
+    assert state.admm is not None
+    state, summary = tr.train(state)
+    assert np.isfinite(summary["rel_l2_u"])
+    assert np.all(np.isfinite(np.asarray(state.admm.z)))
+
+
+def test_admm_flux_rejects_microbatch():
+    exp = override(get_preset("abgrall_admm"), {
+        "loss.admm_form": "flux",
+        "sampling.microbatch": 2,
+        "train.epochs": 10,
+        "train.chunk": 10,
+        "sampling.n_f": 64,
+    })
+    with pytest.raises(ValueError, match="admm_form"):
+        Trainer(exp).train()
+
+
 def test_flux_training_smoke_euler_with_causal():
     exp = override(get_preset("euler_admm"), {
         "model.layers": (2, 20, 20, 3),
