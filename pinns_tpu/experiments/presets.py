@@ -16,6 +16,8 @@ reference only gestures at.
 | burgers_batch_l1sq    | Burgers/continuous_identification/Burgers_batch_L2.py:30-32,57-58,90,202-204 (filename says L2; the loss is squared-L1) |
 | euler_admm            | Eulers/continuous_inference/Euler_ADMM.py:29-34,128-141,279-281 |
 | euler_admm_tuned      | euler_admm + the round-2 study's winning levers (PARITY §4c) |
+| twosin_weak           | best-known TwoSin shock recipe: weak-form flux + causal weighting (PARITY §4h-§4j) |
+| euler_weak            | best-known Euler u/E recipe: weak-form flux + trainable shock paths (PARITY §4i-§4j) |
 | burgers_forward       | canonical Raissi forward problem (burgers_shock.mat, nu=0.01/pi) |
 | burgers_inverse       | identification: trainable lambda1/lambda2 from interior data |
 | burgers_scale         | 1M collocation points, data-parallel mesh (BASELINE.json config) |
@@ -194,6 +196,59 @@ PRESETS = {
         ),
         data=DataConfig(dataset="burgers_shock", n_u=2000, selection="interior"),
         train=TrainConfig(epochs=50_010),
+    ),
+    "twosin_weak": _exp(
+        # Best-known recipe for the TwoSin shock problem in its own
+        # (clock-corrected) dynamics, from the round-2 weak-form studies
+        # (benchmarks/{causal,flux,flux2,flux3}_study.py; PARITY §4h-§4j):
+        # weak-form control-volume residual + causal-in-time weighting
+        # eps=30, 200k cosine Adam. Measured rel-L2(u) 0.0745 on one v5e
+        # chip in ~45 s — vs the 0.398/0.384 strong-form plateau (oracle
+        # floor 0.037, PARITY §2); seeds 1234/7/99 give 0.075/0.157/0.111
+        # (all 2.4-5x below the plateau). lambda1=0.377 is the convection
+        # coefficient the stored grid actually satisfies in label time
+        # (PARITY §2); do NOT over-train: causal selection fades as
+        # residuals vanish (500k drifts to 0.118, §4j).
+        name="twosin_weak",
+        model=ModelConfig(layers=NARROW),
+        pde=PDEConfig(kind="burgers", lambda1=0.377, lambda2=0.0),
+        sampling=SamplingConfig(n_f=1000, strategy="resample_uniform"),
+        loss=LossConfig(
+            data_kind="mse_sum", residual_kind="flux", causal_eps=30.0,
+        ),
+        optimizer=OptimizerConfig(
+            kind="adam", lr_schedule="cosine", schedule_epochs=200_000,
+        ),
+        data=DataConfig(dataset="twosin_burgers_shock", n_u=100),
+        train=TrainConfig(epochs=200_000, chunk=250),
+    ),
+    "euler_weak": _exp(
+        # Best-known recipe for the Euler system (round-2 weak-form
+        # studies, PARITY §4i-§4j): the weak-form flux residual frees the
+        # contact from the strong-form smoothing pressure, two trainable
+        # shock-path features track the moving waves (fronts SHARPEN during
+        # training), and the 5x rho data weight recovers the density field
+        # the ADMM machinery otherwise carried. Measured at the 1M-epoch
+        # envelope on one v5e: rho 0.070 / u 0.148 / E 0.040 — the best u
+        # and E ever recorded on this suite (euler_admm_tuned: 0.060 /
+        # 0.213 / 0.050; reference config: 0.152 / 0.234 / 0.068) and the
+        # first config below the 0.21 u-plateau. ~14 min wall clock.
+        name="euler_weak",
+        model=ModelConfig(
+            layers=EULER_TRUNK, n_paths=2, path_sharpness=12.0,
+        ),
+        pde=PDEConfig(kind="euler", gamma=1.4),
+        sampling=SamplingConfig(
+            n_f=1000, strategy="resample_uniform",
+            t_curriculum_epochs=100_000,
+        ),
+        loss=LossConfig(
+            data_kind="mse_sum", residual_kind="flux",
+            data_field_weights=(5.0, 1.0, 1.0),
+        ),
+        optimizer=OptimizerConfig(kind="adam"),
+        data=DataConfig(dataset="abgrall_eulers", n_u=200),
+        train=TrainConfig(epochs=1_000_000, chunk=250),
     ),
     "burgers_scale": _exp(
         name="burgers_scale",

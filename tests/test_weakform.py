@@ -156,6 +156,25 @@ def test_admm_flux_rejects_microbatch():
         Trainer(exp).train()
 
 
+def test_weak_presets_build_and_train():
+    """The shipped weak-form research presets (twosin_weak, euler_weak)
+    construct and train end-to-end at toy scale."""
+    for name, layers in (
+        ("twosin_weak", (2, 16, 16, 1)),
+        ("euler_weak", (2, 20, 20, 3)),
+    ):
+        exp = override(get_preset(name), {
+            "model.layers": layers,
+            "train.epochs": 100,
+            "train.chunk": 50,
+            "sampling.n_f": 128,
+            "sampling.t_curriculum_epochs": 0,
+        })
+        _, summary = Trainer(exp).train()
+        assert all(np.isfinite(v) for k, v in summary.items()
+                   if k.startswith("rel_l2")), name
+
+
 def test_flux_training_smoke_euler_with_causal():
     exp = override(get_preset("euler_admm"), {
         "model.layers": (2, 20, 20, 3),
