@@ -153,7 +153,9 @@ class LossConfig:
     # residual is weighted by stop_grad(exp(-eps * cumulative earlier-bin
     # loss)) — later times only count once earlier times are fit, the
     # training-dynamics remedy for solutions that must propagate forward
-    # from the IC (shock formation). mean_sq residual_kind only.
+    # from the IC (shock formation). Applies to residual_kind 'mean_sq'
+    # and 'flux' (the measured best-known shock recipe combines it with
+    # the weak form — preset twosin_weak, PARITY §4j).
     causal_eps: float = 0.0
     causal_bins: int = 32
     # entropy_weight > 0 adds a pointwise entropy-admissibility penalty that

@@ -199,19 +199,22 @@ PRESETS = {
     ),
     "twosin_weak": _exp(
         # Best-known recipe for the TwoSin shock problem in its own
-        # (clock-corrected) dynamics, from the round-2 weak-form studies
-        # (benchmarks/{causal,flux,flux2,flux3}_study.py; PARITY §4h-§4j):
-        # weak-form control-volume residual + causal-in-time weighting
-        # eps=30, 200k cosine Adam. Measured rel-L2(u) 0.0745 on one v5e
-        # chip in ~45 s — vs the 0.398/0.384 strong-form plateau (oracle
-        # floor 0.037, PARITY §2); seeds 1234/7/99 give 0.075/0.157/0.111
-        # (all 2.4-5x below the plateau). lambda1=0.377 is the convection
+        # (clock-corrected, dissipation-matched) dynamics, from the round-2
+        # weak-form studies (benchmarks/{causal,flux,flux2..flux5}_study.py;
+        # PARITY §4h-§4k): weak-form control-volume residual +
+        # causal-in-time weighting eps=30 + the dataset's own mild
+        # dissipation (lambda2 = 1e-3; identification recovers 0.9-1.4e-3),
+        # 200k cosine Adam. Measured rel-L2(u) over seeds 1234/7/99:
+        # 0.048 / 0.0367 / 0.0370 — AT the 0.037 inviscid-oracle floor
+        # (PARITY §2), vs the 0.398/0.384 strong-form plateau; ~60 s on
+        # one v5e chip. The inviscid (lambda2=0) variant measures
+        # 0.075-0.157 across seeds. lambda1=0.377 is the convection
         # coefficient the stored grid actually satisfies in label time
         # (PARITY §2); do NOT over-train: causal selection fades as
-        # residuals vanish (500k drifts to 0.118, §4j).
+        # residuals vanish (500k drifts, §4j).
         name="twosin_weak",
         model=ModelConfig(layers=NARROW),
-        pde=PDEConfig(kind="burgers", lambda1=0.377, lambda2=0.0),
+        pde=PDEConfig(kind="burgers", lambda1=0.377, lambda2=1e-3),
         sampling=SamplingConfig(n_f=1000, strategy="resample_uniform"),
         loss=LossConfig(
             data_kind="mse_sum", residual_kind="flux", causal_eps=30.0,

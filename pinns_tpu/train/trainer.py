@@ -181,8 +181,12 @@ class Problem:
         ht = cfg.flux_dt_frac * float(self.ub[1] - self.lb[1])
         if self.exp.pde.kind == "burgers":
             lam1, lam2 = self.effective_coeffs(params)
+            # static: does the EFFECTIVE viscosity ever differ from zero?
+            # (the 'exp' transform maps any raw lambda2 to exp(.) > 0)
             viscous = (
-                self.exp.pde.train_coeffs or self.exp.pde.lambda2 != 0.0
+                self.exp.pde.train_coeffs
+                or self.exp.pde.lambda2_transform == "exp"
+                or self.exp.pde.lambda2 != 0.0
             )
             return burgers_flux_residual(
                 self.spec, params["net"], centers, lam1, lam2,
@@ -201,18 +205,24 @@ class Problem:
     @property
     def admm_flux(self) -> bool:
         """ADMM regularizes the weak-form flux residual (loss.admm_form)."""
+        if self.exp.loss.admm_form not in ("strong", "flux"):
+            raise ValueError(
+                f"unknown loss.admm_form {self.exp.loss.admm_form!r} "
+                "(expected 'strong' or 'flux')"
+            )
         return (
             self.exp.loss.residual_kind == "admm"
             and self.exp.loss.admm_form == "flux"
         )
 
-    def admm_residuals(self, params, colloc):
-        """The residual field the ADMM machinery (init, z/dual updates,
-        misfit) operates on: strong-form (reference semantics) or weak-form
-        flux, per loss.admm_form. Shapes are identical either way."""
-        if self.admm_flux:
-            return self.flux_residuals_and_entropy(params, colloc, False)[0]
-        return self.residuals_chunked(params, colloc)
+    def training_residuals(self, params, pts):
+        """Residuals of the TRAINED objective at pts: weak-form cells when
+        the training loss is weak-form (flux / admm_form='flux'), else the
+        strong form — the consistent field for residual-driven machinery
+        (RAD importance scoring, ADMM state)."""
+        if self.exp.loss.residual_kind == "flux" or self.admm_flux:
+            return self.flux_residuals_and_entropy(params, pts, False)[0]
+        return self.residuals_chunked(params, pts)
 
     def residuals_chunked(self, params, colloc):
         """Residuals over the full batch, evaluated microbatch-by-microbatch
@@ -358,45 +368,20 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
             "time-bin losses in one pass)"
         )
 
-    if cfg.residual_kind == "flux":
-        if m > 1:
-            raise ValueError(
-                "residual_kind='flux' does not support microbatching yet"
-            )
-        if cfg.grad_weight_kappa > 0.0:
-            raise ValueError(
-                "grad_weight_kappa is a strong-form pointwise knob; it does "
-                "not apply to the weak-form 'flux' residual"
-            )
-        residuals, ent = problem.flux_residuals_and_entropy(
-            params, colloc, ew > 0.0
-        )
-        if cfg.causal_eps > 0.0:
-            term, _ = causal_residual_penalty(
-                residuals,
-                colloc[:, 1],
-                problem.lb[1],
-                problem.ub[1],
-                cfg.causal_eps,
-                cfg.causal_bins,
-            )
-        else:
-            rs = residuals if isinstance(residuals, tuple) else (residuals,)
-            term = sum(jnp.mean(f * f) for f in rs)
-        if ew > 0.0:
-            term = term + ew * jnp.sum(ent) / n_f
-        return term
-
-    if cfg.residual_kind == "admm" and cfg.admm_form == "flux" and (
-        m > 1 or cfg.grad_weight_kappa > 0.0
-    ):
+    use_flux = cfg.residual_kind == "flux" or problem.admm_flux
+    if use_flux and m > 1:
         raise ValueError(
-            "loss.admm_form='flux' supports neither microbatching nor "
-            "grad_weight_kappa (strong-form pointwise knob)"
+            "weak-form residuals (residual_kind='flux' / admm_form='flux') "
+            "do not support microbatching yet"
+        )
+    if use_flux and cfg.grad_weight_kappa > 0.0:
+        raise ValueError(
+            "grad_weight_kappa is a strong-form pointwise knob; it does "
+            "not apply to the weak-form residuals"
         )
 
     if m <= 1:
-        if problem.admm_flux:
+        if use_flux:
             residuals, ent = problem.flux_residuals_and_entropy(
                 params, colloc, ew > 0.0
             )
@@ -415,12 +400,13 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
                 cfg.causal_eps,
                 cfg.causal_bins,
             )
-        elif isinstance(residuals, tuple):
-            term = sum(
-                residual_penalty(f, cfg.residual_kind, n_f) for f in residuals
-            )
         else:
-            term = residual_penalty(residuals, cfg.residual_kind, n_f)
+            # the weak-form cell residual takes the plain mean-square
+            pkind = "mean_sq" if cfg.residual_kind == "flux" else cfg.residual_kind
+            if isinstance(residuals, tuple):
+                term = sum(residual_penalty(f, pkind, n_f) for f in residuals)
+            else:
+                term = residual_penalty(residuals, pkind, n_f)
         if ew > 0.0:
             term = term + ew * jnp.sum(ent) / n_f
         return term
@@ -564,7 +550,7 @@ def _post_update_current(
     for the next step."""
     exp = problem.exp
     rho_val = exp.loss.rho if rho is None else rho
-    f_cur = problem.admm_residuals(params, colloc)
+    f_cur = problem.training_residuals(params, colloc)
     admm_state = admm_update(f_cur, admm_state, rho_val, colloc.shape[0])
     mis = admm_misfit(f_cur, admm_state)
     if exp.sampling.strategy == "resample_uniform":
@@ -584,7 +570,7 @@ def _post_update(
     mis = jnp.zeros((), problem.spec.dtype)
     if exp.loss.residual_kind == "admm":
         rho_val = exp.loss.rho if rho is None else rho
-        f_new = problem.admm_residuals(params, colloc)
+        f_new = problem.training_residuals(params, colloc)
         # threshold normalizer = ACTUAL residual row count (anchored sets are
         # larger than sampling.n_f; reference uses N_r = x_f.shape[0],
         # Hwan_L1Regularization_ADMM_Burgers.py:56,93)
@@ -844,7 +830,7 @@ class Trainer:
         if exp.loss.residual_kind == "admm":
             # z = r(w_0) at the initial collocation set, dual = 1
             # (Abgrall_ADMM.py:92-97)
-            f0 = self.problem.admm_residuals(params, colloc)
+            f0 = self.problem.training_residuals(params, colloc)
             admm_state = admm_init(f0)
         return TrainState(
             params=params,
@@ -884,18 +870,31 @@ class Trainer:
             cfg = self.exp.sampling
             m_pool = cfg.rad_pool_factor * cfg.n_f
 
+            def one(params, pts):
+                # score with the TRAINED objective's residual field: weak-
+                # form cell residuals when training weak-form (else RAD
+                # would concentrate points where the strong form blows up
+                # at sharpening fronts — exactly where the weak loss is
+                # near zero)
+                if (
+                    problem.exp.loss.residual_kind == "flux"
+                    or problem.admm_flux
+                ):
+                    return problem.flux_residuals_and_entropy(
+                        params, pts, False
+                    )[0]
+                return problem.residuals(params, pts)
+
             def pool_residuals(params, pool):
                 # keep per-chunk size at the trained config's n_f/microbatch
                 # bound: the pool is rad_pool_factor x larger, so it gets
                 # rad_pool_factor x the chunk count
                 m = cfg.microbatch * cfg.rad_pool_factor
                 if m <= 1:
-                    return problem.residuals(params, pool)
+                    return one(params, pool)
                 n = pool.shape[0]
                 chunks = pool.reshape(m, n // m, pool.shape[1])
-                out = jax.lax.map(
-                    lambda ch: problem.residuals(params, ch), chunks
-                )
+                out = jax.lax.map(lambda ch: one(params, ch), chunks)
                 return jax.tree_util.tree_map(
                     lambda f: f.reshape(n, *f.shape[2:]), out
                 )
@@ -920,7 +919,7 @@ class Trainer:
                 admm = state.admm
                 if admm is not None:
                     admm = admm_init(
-                        problem.admm_residuals(state.params, colloc)
+                        problem.training_residuals(state.params, colloc)
                     )
                 return state._replace(colloc=colloc, key=key, admm=admm)
 

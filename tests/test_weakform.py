@@ -156,6 +156,60 @@ def test_admm_flux_rejects_microbatch():
         Trainer(exp).train()
 
 
+def test_flux_viscous_flag_respects_exp_transform():
+    """lambda2_transform='exp' means the effective viscosity is exp(raw) > 0
+    even when the raw lambda2 is 0 — the flux path must include the
+    -lambda2 u_x flux (regression: the static `viscous` flag used to test
+    the RAW value only)."""
+    from pinns_tpu.train.trainer import build_problem
+
+    exp = override(get_preset("abgrall_admm"), {
+        "model.layers": (2, 8, 8, 1),
+        "loss.residual_kind": "flux",
+        "pde.lambda2": 0.0,
+        "pde.lambda2_transform": "exp",  # effective lambda2 = exp(0) = 1
+    })
+    problem = build_problem(exp)
+    params = {
+        "net": init_mlp(jax.random.key(0), problem.spec),
+        "coeffs": {"lambda1": jnp.ones((1,)), "lambda2": jnp.zeros((1,))},
+    }
+    centers = _centers(n=16, seed=9)
+    r_full, _ = problem.flux_residuals_and_entropy(params, centers, False)
+    r_invisc, _ = burgers_flux_residual(
+        problem.spec, params["net"], centers, 1.0, 1.0,
+        0.04, 0.02, quad=4, viscous=False,
+    )
+    assert np.max(np.abs(np.asarray(r_full - r_invisc))) > 1e-4
+
+
+def test_unknown_admm_form_raises():
+    exp = override(get_preset("abgrall_admm"), {
+        "loss.admm_form": "Flux",  # typo: must not silently fall back
+        "train.epochs": 10,
+        "train.chunk": 10,
+        "sampling.n_f": 64,
+    })
+    with pytest.raises(ValueError, match="admm_form"):
+        Trainer(exp).train()
+
+
+def test_rad_scores_with_flux_residuals():
+    """strategy='rad' + residual_kind='flux' trains with the importance
+    pool scored by the weak-form cell residuals (the trained objective)."""
+    exp = override(get_preset("abgrall_admm"), {
+        "model.layers": (2, 16, 16, 1),
+        "loss.residual_kind": "flux",
+        "sampling.strategy": "rad",
+        "optimizer.kind": "adam",
+        "train.epochs": 200,
+        "train.chunk": 100,
+        "sampling.n_f": 128,
+    })
+    _, summary = Trainer(exp).train()
+    assert np.isfinite(summary["rel_l2_u"])
+
+
 def test_weak_presets_build_and_train():
     """The shipped weak-form research presets (twosin_weak, euler_weak)
     construct and train end-to-end at toy scale."""
