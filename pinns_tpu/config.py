@@ -63,7 +63,11 @@ class ModelConfig:
 class PDEConfig:
     kind: str = "burgers"  # 'burgers' | 'euler'
     lambda1: float = 1.0  # convection coefficient (Burgers)
-    lambda2: float = 0.0  # viscosity (Burgers)
+    # Burgers: viscosity. Euler + residual_kind='flux': artificial
+    # viscosity nu on the CONSERVED variables (flux_i -= nu dU_i/dx), the
+    # modified-equation model of the stored DG data's numerical dissipation
+    # (dissipation matching, PARITY §4k). Euler strong form ignores it.
+    lambda2: float = 0.0
     gamma: float = 1.4  # ratio of specific heats (Euler)
     train_coeffs: bool = False  # identification mode: lambda1/2 trainable
     lambda2_transform: str = "identity"  # 'identity' | 'exp' (positivity)

@@ -165,19 +165,44 @@ def euler_flux_residuals(
     ht: float,
     quad: int = 4,
     want_entropy: bool = False,
+    visc=0.0,
+    viscous: bool = False,
 ):
     """Cell-mean conservation residuals for the 1D Euler system (mass,
-    momentum, energy) — pure forward evaluations, no derivatives.
+    momentum, energy) — pure forward evaluations, no derivatives (unless
+    `viscous`).
+
+    `viscous` is a STATIC flag. When set, each flux component carries an
+    artificial-viscosity term -visc * dU_i/dx on the conserved variables —
+    the modified-equation model of a dissipative numerical scheme (the
+    stored reference grids are DG/FV solutions, which solve the inviscid
+    system plus O(h) dissipation; matching it closed the TwoSin gap to the
+    oracle floor, PARITY §4k). `visc` may be a trainable (1,) array for
+    identification. One Taylor-1 pass replaces the forward pass; still no
+    second derivatives anywhere.
 
     Returns ((r1, r2, r3), ent), each (N, 1); ent is the weak
     entropy-inequality violation relu(E)^2 (None unless requested)."""
     n = centers.shape[0]
     x1, x2, t1, t2 = _cell_edges(spec, centers, hx, ht)
     pts, hxe, hte = _edge_points(spec, x1, x2, t1, t2, quad)
-    y = mlp_apply(spec, params, pts.reshape(n * 4 * quad, 2)).reshape(
-        n, 4 * quad, 3
-    )
+    flat = pts.reshape(n * 4 * quad, 2)
+    if viscous:
+        y_flat, yx_flat, _ = mlp_taylor_1(spec, params, flat)
+        y = y_flat.reshape(n, 4 * quad, 3)
+        y_x = yx_flat.reshape(n, 4 * quad, 3)
+    else:
+        y = mlp_apply(spec, params, flat).reshape(n, 4 * quad, 3)
+        y_x = None
     cons, flux, eta, etaflux = _euler_conserved_flux(y, gamma)
+    if viscous:
+        # dU/dx for U = (rho, rho u, E) from the primitive derivatives
+        rho, u = y[..., 0:1], y[..., 1:2]
+        rho_x, u_x, e_x = y_x[..., 0:1], y_x[..., 1:2], y_x[..., 2:3]
+        cons_x = jnp.concatenate(
+            [rho_x, rho_x * u + rho * u_x, e_x], axis=-1
+        )
+        flux = flux - visc * cons_x
     q = quad
     _, w = _gauss_legendre(q)
     w = jnp.asarray(w, spec.dtype)

@@ -192,9 +192,17 @@ class Problem:
                 self.spec, params["net"], centers, lam1, lam2,
                 hx, ht, cfg.flux_quad, want_entropy, viscous,
             )
+        # Euler artificial viscosity rides the lambda2 coefficient slot —
+        # same freeze/exp-transform/identification machinery as Burgers
+        _, visc = self.effective_coeffs(params)
+        viscous = (
+            self.exp.pde.train_coeffs
+            or self.exp.pde.lambda2_transform == "exp"
+            or self.exp.pde.lambda2 != 0.0
+        )
         return euler_flux_residuals(
             self.spec, params["net"], centers, self.exp.pde.gamma,
-            hx, ht, cfg.flux_quad, want_entropy,
+            hx, ht, cfg.flux_quad, want_entropy, visc, viscous,
         )
 
     def entropy_sq(self, params, colloc):

@@ -87,6 +87,55 @@ def test_euler_flux_matches_strong_residuals():
     assert np.all(np.asarray(ent) >= 0.0)
 
 
+def test_euler_viscous_flux_smooth_limit():
+    """With artificial viscosity the cell-mean residual converges to
+    f_strong_i - nu * dU_i/dx_x (U the conserved variables): the viscous
+    flux is -nu U_x, so the smooth limit gains -nu U_xx, checked against a
+    central finite difference of the Taylor-exact U_x."""
+    from pinns_tpu.ops.taylor import mlp_taylor_1
+
+    params = init_mlp(jax.random.key(3), SPEC3)
+    centers = _centers(seed=4)
+    nu = 0.05
+    _, f_strong = euler_residuals(SPEC3, params, centers, 1.4)
+
+    def cons_x(pts):
+        y, y_x, _ = mlp_taylor_1(SPEC3, params, pts)
+        rho, u = y[:, 0:1], y[:, 1:2]
+        rho_x, u_x, e_x = y_x[:, 0:1], y_x[:, 1:2], y_x[:, 2:3]
+        return jnp.concatenate([rho_x, rho_x * u + rho * u_x, e_x], axis=1)
+
+    d = 1e-3
+    off = jnp.array([[d, 0.0]])
+    cons_xx = (cons_x(centers + off) - cons_x(centers - off)) / (2 * d)
+
+    rs, _ = euler_flux_residuals(
+        SPEC3, params, centers, 1.4, 0.01, 0.01, quad=4,
+        visc=nu, viscous=True,
+    )
+    for i, (r, f) in enumerate(zip(rs, f_strong)):
+        expect = np.asarray(f) - nu * np.asarray(cons_xx[:, i : i + 1])
+        np.testing.assert_allclose(np.asarray(r), expect, rtol=0.05, atol=5e-3)
+
+
+def test_euler_viscous_zero_matches_inviscid():
+    """visc=0 through the viscous (Taylor-1) path reproduces the pure
+    forward-pass inviscid residuals."""
+    params = init_mlp(jax.random.key(7), SPEC3)
+    centers = _centers(seed=11, n=32)
+    r0, _ = euler_flux_residuals(
+        SPEC3, params, centers, 1.4, 0.02, 0.02, quad=4,
+    )
+    rv, _ = euler_flux_residuals(
+        SPEC3, params, centers, 1.4, 0.02, 0.02, quad=4,
+        visc=0.0, viscous=True,
+    )
+    for a, b in zip(r0, rv):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_cells_clip_to_domain():
     """Centers on the boundary produce clipped (smaller) cells, not
     out-of-domain evaluations; residuals stay finite."""
