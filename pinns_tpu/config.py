@@ -130,6 +130,15 @@ class LossConfig:
     # reference's research program on the formulation that is actually
     # defined at shocks.
     admm_form: str = "strong"
+    # Mixed formulation (beyond-reference): with a weak-form training
+    # residual (residual_kind='flux' or admm_form='flux') on Euler, the
+    # equation indices listed here (0=mass, 1=momentum, 2=energy) are
+    # evaluated with the STRONG pointwise residual instead, at the same
+    # points. Motivated by the measured frontier (PARITY §4j: rho converges
+    # best under the strong form, u/E under the weak form). Cell-mean and
+    # pointwise residuals agree in the smooth limit
+    # (tests/test_weakform.py), so mixing is scale-consistent.
+    strong_equations: Tuple[int, ...] = ()
     rho: float = 10.0  # ADMM penalty (the Euler script calls it `pen`)
     # Loss-balance knobs (beyond-reference; the reference hardcodes 1.0):
     # total = data_weight * data + residual_weight * residual. For

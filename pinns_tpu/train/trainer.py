@@ -179,6 +179,11 @@ class Problem:
         cfg = self.exp.loss
         hx = cfg.flux_dx_frac * float(self.ub[0] - self.lb[0])
         ht = cfg.flux_dt_frac * float(self.ub[1] - self.lb[1])
+        if cfg.strong_equations and self.exp.pde.kind != "euler":
+            raise ValueError(
+                "loss.strong_equations is the Euler mixed formulation; "
+                "Burgers has a single equation"
+            )
         if self.exp.pde.kind == "burgers":
             lam1, lam2 = self.effective_coeffs(params)
             # static: does the EFFECTIVE viscosity ever differ from zero?
@@ -200,10 +205,27 @@ class Problem:
             or self.exp.pde.lambda2_transform == "exp"
             or self.exp.pde.lambda2 != 0.0
         )
-        return euler_flux_residuals(
+        rs, ent = euler_flux_residuals(
             self.spec, params["net"], centers, self.exp.pde.gamma,
             hx, ht, cfg.flux_quad, want_entropy, visc, viscous,
         )
+        if cfg.strong_equations:
+            # Mixed formulation (loss.strong_equations): selected equations
+            # use the strong pointwise residual at the SAME points — one
+            # extra Taylor-1 pass at the N centers, shared by all selected
+            # equations. Scale-consistent with the cell means in the smooth
+            # limit (tests/test_weakform.py).
+            if any(i not in (0, 1, 2) for i in cfg.strong_equations):
+                raise ValueError(
+                    "loss.strong_equations indices must be in {0, 1, 2} "
+                    "(mass, momentum, energy)"
+                )
+            strong, _ = self.residuals_and_entropy(params, centers, False)
+            rs = tuple(
+                strong[i] if i in cfg.strong_equations else rs[i]
+                for i in range(3)
+            )
+        return rs, ent
 
     def entropy_sq(self, params, colloc):
         """Per-point squared entropy-admissibility violation (see

@@ -232,6 +232,54 @@ def test_flux_viscous_flag_respects_exp_transform():
     assert np.max(np.abs(np.asarray(r_full - r_invisc))) > 1e-4
 
 
+def test_strong_equations_mixes_forms():
+    """loss.strong_equations=(0,) on Euler: equation 0 is the exact strong
+    pointwise residual, equations 1-2 stay the weak cell means; training
+    smoke stays finite; Burgers rejects the knob."""
+    from pinns_tpu.train.trainer import build_problem
+
+    exp = override(get_preset("euler_admm"), {
+        "model.layers": (2, 8, 8, 3),
+        "loss.residual_kind": "flux",
+        "loss.strong_equations": (0,),
+    })
+    problem = build_problem(exp)
+    params = {
+        "net": init_mlp(jax.random.key(1), problem.spec),
+        "coeffs": {"lambda1": jnp.ones((1,)), "lambda2": jnp.zeros((1,))},
+    }
+    centers = _centers(n=16, seed=5)
+    mixed, _ = problem.flux_residuals_and_entropy(params, centers, False)
+    strong, _ = problem.residuals_and_entropy(params, centers, False)
+    np.testing.assert_allclose(
+        np.asarray(mixed[0]), np.asarray(strong[0]), rtol=1e-6, atol=1e-7
+    )
+    # momentum/energy stay weak-form: differ from strong at a random net
+    assert np.max(np.abs(np.asarray(mixed[1] - strong[1]))) > 1e-6
+
+    exp_t = override(get_preset("euler_admm"), {
+        "model.layers": (2, 8, 8, 3),
+        "loss.residual_kind": "flux",
+        "loss.strong_equations": (0,),
+        "train.epochs": 10,
+        "train.chunk": 10,
+        "sampling.n_f": 64,
+        "data.n_u": 32,
+    })
+    state, s = Trainer(exp_t).train()
+    assert all(np.isfinite(v) for k, v in s.items() if k.startswith("rel_l2"))
+
+    exp_b = override(get_preset("abgrall_admm"), {
+        "loss.residual_kind": "flux",
+        "loss.strong_equations": (0,),
+        "train.epochs": 10,
+        "train.chunk": 10,
+        "sampling.n_f": 64,
+    })
+    with pytest.raises(ValueError, match="strong_equations"):
+        Trainer(exp_b).train()
+
+
 def test_unknown_admm_form_raises():
     exp = override(get_preset("abgrall_admm"), {
         "loss.admm_form": "Flux",  # typo: must not silently fall back
