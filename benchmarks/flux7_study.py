@@ -39,6 +39,12 @@ PART_A = [
 ]
 
 PART_B = [
+    # seed robustness of the Part A winner at the 200k budget
+    ("mix_mass_s7", {"loss.strong_equations": (0,), "train.seed": 7},
+     200_000),
+    ("mix_mass_s99", {"loss.strong_equations": (0,), "train.seed": 99},
+     200_000),
+    # 1M envelope: does longer training help or drift?
     ("mix_mass_1M", {"loss.strong_equations": (0,)}, 1_000_000),
     ("pure_weak_1M", {}, 1_000_000),
 ]
