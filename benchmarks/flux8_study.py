@@ -28,6 +28,9 @@ from pinns_tpu.train import Trainer
 MIX = {"loss.strong_equations": (0,), "pde.lambda2": 1e-3}
 
 RUNS = [
+    # cosine LR decay: the TwoSin identification difference-maker (§4k),
+    # never tried on the Euler forward recipe (all rows above: constant LR)
+    ("cosine", {**MIX, "optimizer.lr_schedule": "cosine"}, 200_000),
     ("causal10", {**MIX, "loss.causal_eps": 10.0}, 200_000),
     ("causal30", {**MIX, "loss.causal_eps": 30.0}, 200_000),
     ("w111", {**MIX, "loss.data_field_weights": (1.0, 1.0, 1.0)}, 200_000),

@@ -227,20 +227,25 @@ PRESETS = {
     ),
     "euler_weak": _exp(
         # Best-known recipe for the Euler system (round-2 weak-form
-        # studies, PARITY §4i-§4j): the weak-form flux residual frees the
+        # studies, PARITY §4i-§4l): the weak-form flux residual frees the
         # contact from the strong-form smoothing pressure, two trainable
-        # shock-path features track the moving waves (fronts SHARPEN during
-        # training), and the 5x rho data weight recovers the density field
-        # the ADMM machinery otherwise carried. Measured at the 1M-epoch
-        # envelope on one v5e: rho 0.070 / u 0.148 / E 0.040 — the best u
-        # and E ever recorded on this suite (euler_admm_tuned: 0.060 /
-        # 0.213 / 0.050; reference config: 0.152 / 0.234 / 0.068) and the
-        # first config below the 0.21 u-plateau. ~14 min wall clock.
+        # shock-path features track the moving waves, the 5x rho data
+        # weight recovers the density field the ADMM machinery otherwise
+        # carried, the stored DG grid's own numerical dissipation is
+        # matched (lambda2 = 1e-3; identification recovers ~2e-3 at rel-L2
+        # 0.012/0.028/0.010 — PARITY §4l), and the mass equation uses the
+        # strong pointwise residual while momentum/energy stay weak cell
+        # means (loss.strong_equations, the measured frontier split §4j).
+        # Measured at the 1M-epoch envelope on one v5e: rho 0.0205 /
+        # u 0.0544 / E 0.0162 — vs euler_admm_tuned 0.060/0.213/0.050 and
+        # the reference config 0.152/0.234/0.068, i.e. 3-7x better per
+        # field. At the 200k budget (~7 min): 0.026-0.034 / 0.080-0.120 /
+        # 0.021-0.027 over seeds 1234/7/99. ~32 min wall clock at 1M.
         name="euler_weak",
         model=ModelConfig(
             layers=EULER_TRUNK, n_paths=2, path_sharpness=12.0,
         ),
-        pde=PDEConfig(kind="euler", gamma=1.4),
+        pde=PDEConfig(kind="euler", gamma=1.4, lambda2=1e-3),
         sampling=SamplingConfig(
             n_f=1000, strategy="resample_uniform",
             t_curriculum_epochs=100_000,
@@ -248,6 +253,7 @@ PRESETS = {
         loss=LossConfig(
             data_kind="mse_sum", residual_kind="flux",
             data_field_weights=(5.0, 1.0, 1.0),
+            strong_equations=(0,),
         ),
         optimizer=OptimizerConfig(kind="adam"),
         data=DataConfig(dataset="abgrall_eulers", n_u=200),
