@@ -20,6 +20,7 @@ reference only gestures at.
 | euler_weak            | best-known Euler u/E recipe: weak-form flux + trainable shock paths (PARITY §4i-§4j) |
 | burgers_forward       | canonical Raissi forward problem (burgers_shock.mat, nu=0.01/pi) |
 | burgers_inverse       | identification: trainable lambda1/lambda2 from interior data |
+| euler_inverse         | Euler dissipation identification from interior data (weak form, PARITY §4l) |
 | burgers_scale         | 1M collocation points, data-parallel mesh (BASELINE.json config) |
 """
 
@@ -196,6 +197,37 @@ PRESETS = {
         ),
         data=DataConfig(dataset="burgers_shock", n_u=2000, selection="interior"),
         train=TrainConfig(epochs=50_010),
+    ),
+    "euler_inverse": _exp(
+        # Euler dissipation identification (PARITY §4l,
+        # benchmarks/flux6_study.py): recover the stored DG grid's own
+        # numerical dissipation from 2000 interior points with the
+        # weak-form flux residual (the strong Euler form has no
+        # dissipation term by construction) and a trainable
+        # exp-transformed lambda2. Measured at 200k cosine Adam on one
+        # v5e (~9 min): rel-L2 rho 0.0118 / u 0.0284 / E 0.0103,
+        # identified nu ~= 2.1e-3 — the number the forward `euler_weak`
+        # recipe freezes (rounded to the frozen-grid optimum 1e-3).
+        # Companion to `burgers_inverse` for the Euler system; no
+        # reference analog (the reference identifies only Burgers
+        # coefficients, Abgrall_ADMM.py:57-58).
+        name="euler_inverse",
+        model=ModelConfig(layers=EULER_TRUNK),
+        pde=PDEConfig(
+            kind="euler",
+            gamma=1.4,
+            lambda2=-6.0,
+            train_coeffs=True,
+            lambda2_transform="exp",
+        ),
+        sampling=SamplingConfig(n_f=1000, strategy="resample_uniform"),
+        loss=LossConfig(data_kind="mse_sum", residual_kind="flux"),
+        optimizer=OptimizerConfig(
+            kind="adam", lr_schedule="cosine", schedule_epochs=200_000,
+        ),
+        data=DataConfig(dataset="abgrall_eulers", n_u=2000,
+                        selection="interior"),
+        train=TrainConfig(epochs=200_000, chunk=250),
     ),
     "twosin_weak": _exp(
         # Best-known recipe for the TwoSin shock problem in its own

@@ -190,6 +190,31 @@ def test_inverse_coeffs_are_trainable():
     assert summary["lambda2"] > 0
 
 
+def test_euler_inverse_identifies_dissipation():
+    """euler_inverse (PARITY §4l): the weak-form dissipation-identification
+    preset trains at toy scale, moves lambda2, keeps it positive via the
+    exp transform, and fits the interior data."""
+    exp = _small(
+        "euler_inverse",
+        **{
+            "model.layers": (2, 16, 16, 3),
+            "train.epochs": 200,
+            "train.chunk": 100,
+            "sampling.n_f": 256,
+            "data.n_u": 200,
+        },
+    )
+    tr = Trainer(exp)
+    state = tr.init_state()
+    lam2_0 = float(state.params["coeffs"]["lambda2"][0])
+    state, summary = tr.train(state)
+    lam2_1 = float(state.params["coeffs"]["lambda2"][0])
+    assert lam2_0 != lam2_1  # dissipation coefficient moved
+    assert summary["lambda2"] > 0  # exp transform keeps nu positive
+    for k in ("rel_l2_rho", "rel_l2_u", "rel_l2_E"):
+        assert np.isfinite(summary[k])
+
+
 def test_frozen_coeffs_stay_fixed():
     exp = _small("abgrall_admm", **{"model.layers": (2, 8, 8, 1), "train.epochs": 50, "train.chunk": 50})
     tr = Trainer(exp)
