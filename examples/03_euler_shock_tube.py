@@ -6,6 +6,12 @@ trained from IC/BC data of the Sod/Lax-blend shock tube. The ground-truth
 grid regenerates natively (FV solver) if the reference .mat is absent.
 
     python examples/03_euler_shock_tube.py [--quick]
+
+This drives the reference-parity configuration. For the best-known
+quality, use the `euler_weak` preset instead (weak-form flux + matched
+dissipation + strong-mass mix — rho 2.1% / u 5.4% / E 1.6% at 1M
+epochs, PARITY.md §4l), and `euler_inverse` to identify the dataset's
+dissipation from interior data.
 """
 
 import sys

@@ -271,8 +271,11 @@ PRESETS = {
         # Measured at the 1M-epoch envelope on one v5e: rho 0.0205 /
         # u 0.0544 / E 0.0162 — vs euler_admm_tuned 0.060/0.213/0.050 and
         # the reference config 0.152/0.234/0.068, i.e. 3-7x better per
-        # field. At the 200k budget (~7 min): 0.026-0.034 / 0.080-0.120 /
-        # 0.021-0.027 over seeds 1234/7/99. ~32 min wall clock at 1M.
+        # field. ~32 min wall clock at 1M. Fast budget (~10 min): add
+        # --set optimizer.lr_schedule=cosine optimizer.schedule_epochs=200000
+        # train.epochs=200000 → rho 0.029-0.043 / u 0.064-0.076 /
+        # E 0.020-0.025 over seeds 1234/7/99 (cosine wins at 200k but
+        # NOT at 1M — PARITY §4l refinement sweep).
         name="euler_weak",
         model=ModelConfig(
             layers=EULER_TRUNK, n_paths=2, path_sharpness=12.0,
