@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""SWA tail-averaging study (round 2, follow-up to flux5/flux9).
+
+Two documented weaknesses of the shipped recipes motivate stochastic
+weight averaging (Izmailov et al. 2018) over the chunk-boundary tail:
+
+  (a) TwoSin causal runs PEAK near 200k and drift when over-trained
+      (PARITY 4j: fc30 0.0745 @ 200k -> 0.118 @ 500k) — the per-step
+      resample + fading causal weights make the Adam tail a noisy
+      stationary process, exactly SWA's regime;
+  (b) both recipes carry real seed-to-seed spread (TwoSin 0.037-0.070,
+      Euler-fast u 0.063-0.077) — averaging cancels iterate noise.
+
+SWA is host-loop-side (TrainConfig.swa_frac), so every run here reuses
+the shipped presets' cached step programs.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/swa_study.py [tags]
+"""
+
+import json
+import sys
+import time
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import get_preset
+from pinns_tpu.train import Trainer
+
+# (tag, preset, overrides) — epochs/chunk stay at preset defaults so the
+# step HLO is bit-identical to the cached programs.
+RUNS = [
+    # TwoSin matched recipe: both window sizes on the default seed, then
+    # the better window on the other study seeds
+    ("ts_swa25", "twosin_weak", {"train.swa_frac": 0.25}),
+    ("ts_swa50", "twosin_weak", {"train.swa_frac": 0.5}),
+    ("ts_swa25_s7", "twosin_weak", {"train.swa_frac": 0.25, "train.seed": 7}),
+    ("ts_swa25_s99", "twosin_weak",
+     {"train.swa_frac": 0.25, "train.seed": 99}),
+    # Euler fast-budget recipe (cosine 200k, flux9)
+    ("eu_fast_swa25", "euler_weak",
+     {"optimizer.lr_schedule": "cosine", "train.swa_frac": 0.25,
+      "train.epochs": 200_000, "optimizer.schedule_epochs": 200_000,
+      "train.chunk": 250}),
+]
+
+
+def run(tag, preset, overrides):
+    base = {"train.log_every": 0}
+    base.update(overrides)
+    exp = override(get_preset(preset), base)
+    t0 = time.time()
+    state, s = Trainer(exp).train()
+    rec = {
+        "tag": tag,
+        "epochs": exp.train.epochs,
+        "wall_s": round(time.time() - t0, 1),
+        **{k: round(float(v), 4) for k, v in s.items()
+           if "rel_l2" in k or k == "swa_snapshots"},
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    only = set(sys.argv[1:])
+    print("# swa tail-averaging study", flush=True)
+    for tag, preset, ov in RUNS:
+        if only and tag not in only:
+            continue
+        run(tag, preset, ov)
+
+
+if __name__ == "__main__":
+    main()

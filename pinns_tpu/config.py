@@ -259,6 +259,15 @@ class TrainConfig:
     # checked at chunk granularity (the reference's `tol` loop condition,
     # Hwan_L2Regularization_Burgers.py:74,134). 0 disables.
     stop_tol: float = 0.0
+    # Stochastic weight averaging (beyond-reference; Izmailov et al. 2018):
+    # > 0 maintains the uniform average of the parameters sampled at chunk
+    # boundaries over the LAST swa_frac of the epoch budget, and the run
+    # summary reports swa_rel_l2_* alongside the final-iterate metrics.
+    # Per-step resampling makes the Adam tail a noisy stationary process;
+    # averaging its iterates cancels that noise at zero step cost (the
+    # accumulation happens between device calls — no new step HLO, so the
+    # persistent compile cache stays valid).
+    swa_frac: float = 0.0
 
 
 @_frozen

@@ -839,6 +839,10 @@ class Trainer:
         self._predict = jax.jit(
             lambda params, x: predict_fields(self.problem, params, x)
         )
+        # populated by train() when TrainConfig.swa_frac > 0: the uniform
+        # tail average of the parameters, cast back to the working dtype
+        self.swa_params = None
+        self._swa_init = self._swa_accum = None
 
     # -- state ------------------------------------------------------------
     def init_state(
@@ -967,6 +971,15 @@ class Trainer:
         chunk = max(1, min(exp.train.chunk, total))
         # L-BFGS outer epochs are whole inner solves; keep device calls short
         lbfgs_chunk = max(1, min(chunk // 100 or 1, 10))
+        # SWA (TrainConfig.swa_frac): uniform average of the parameters at
+        # chunk boundaries inside the tail window. Runs BETWEEN device calls
+        # on the already-materialized state — no change to the step HLO.
+        swa_start = (
+            total - int(round(exp.train.swa_frac * total))
+            if exp.train.swa_frac > 0.0
+            else None
+        )
+        swa_avg, swa_n = None, 0
 
         t0 = time.time()
         start_epoch = int(state.epoch)
@@ -1007,11 +1020,30 @@ class Trainer:
                     break
             self._maybe_snapshot(epoch, length, state)
             self._maybe_checkpoint(epoch, length, state)
+            if swa_start is not None and epoch > swa_start:
+                swa_avg, swa_n = self._swa_update(swa_avg, swa_n, state.params)
             if exp.sampling.strategy == "rad" and epoch < total:
                 state = self._get_rad_resample()(state)
 
         summary = self.evaluate(state)
         summary["epochs"] = epoch
+        if swa_n > 0:
+            # cast the f32 accumulator back to the working dtype for the
+            # prediction pass; keep it on the trainer for predict/checkpoint
+            self.swa_params = jax.jit(
+                lambda a, p: jax.tree_util.tree_map(
+                    lambda x, y: x.astype(y.dtype), a, p
+                )
+            )(swa_avg, state.params)
+            summary["swa_snapshots"] = swa_n
+            for k, v in self.evaluate(state, params=self.swa_params).items():
+                summary[f"swa_{k}"] = v
+            if exp.train.out_dir:
+                # a loadable state at the averaged iterate (optimizer/ADMM
+                # state stay the final ones — SWA only redefines params)
+                self.save_checkpoint(
+                    state._replace(params=self.swa_params), tag="swa"
+                )
         self.logger.write_summary(summary)
         if exp.train.out_dir:
             self.save_checkpoint(state, tag="final")
@@ -1049,19 +1081,56 @@ class Trainer:
         if every and self.exp.train.out_dir and self._crossed(epoch, length, every):
             self.save_checkpoint(state, tag=f"e{epoch}")
 
+    def _swa_update(self, swa_avg, swa_n, params):
+        """One step of the running SWA mean (Izmailov et al. 2018, eq. for
+        the uniform tail average): ``avg += (p - avg) / (n + 1)``.
+
+        Accumulates in float32 regardless of the working dtype so long
+        averaging windows don't lose mass to bf16 rounding. Two fixed jitted
+        programs (init copy + accumulate with n TRACED, not baked in) — an
+        eager tree-map here would remote-compile a fresh program per
+        snapshot on tunneled backends, which stalls the loop by minutes.
+        The main step HLO is untouched, so the persistent compile cache
+        stays valid.
+        """
+        if self._swa_accum is None:
+            # jit output is a fresh buffer, so the init snapshot never
+            # aliases the live params the donated step deletes under us
+            self._swa_init = jax.jit(
+                lambda p: jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), p
+                )
+            )
+            self._swa_accum = jax.jit(
+                lambda avg, p, n: jax.tree_util.tree_map(
+                    lambda a, x: a + (x.astype(jnp.float32) - a) / n, avg, p
+                )
+            )
+        if swa_avg is None:
+            return self._swa_init(params), 1
+        n = swa_n + 1
+        return self._swa_accum(swa_avg, params, jnp.float32(n)), n
+
     def predict(self, params, x) -> Dict[str, np.ndarray]:
         out = self._predict(params, jnp.asarray(x, self.problem.spec.dtype))
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def evaluate(self, state: TrainState) -> Dict[str, float]:
+    def evaluate(self, state: TrainState, params=None) -> Dict[str, float]:
         """Relative L2 error per field over the full exact grid
-        (``Abgrall_ADMM.py:318-319``, ``Euler_ADMM.py:342-347``)."""
+        (``Abgrall_ADMM.py:318-319``, ``Euler_ADMM.py:342-347``).
+
+        ``params`` overrides ``state.params`` for the prediction pass — used
+        to score alternative iterates (e.g. the SWA average) against the same
+        grid without rebuilding a state.
+        """
+        if params is None:
+            params = state.params
         ds = self.problem.dataset
-        preds = self.predict(state.params, ds.X_star)
+        preds = self.predict(params, ds.X_star)
         out = {}
         for name in ds.field_names:
             out[f"rel_l2_{name}"] = relative_l2(preds[name], ds.star[name])
-        lam1, lam2 = self.problem.effective_coeffs(state.params)
+        lam1, lam2 = self.problem.effective_coeffs(params)
         out["lambda1"] = float(np.asarray(lam1)[0])
         out["lambda2"] = float(np.asarray(lam2)[0])
         return out

@@ -75,6 +75,47 @@ def test_euler_admm_tuned_preset_short_training():
         assert np.isfinite(summary[f"rel_l2_{f}"])
 
 
+def test_swa_tail_average_reported(tmp_path):
+    """TrainConfig.swa_frac > 0 accumulates the chunk-boundary tail average
+    and reports swa_rel_l2_* alongside the final-iterate metrics."""
+    import jax
+
+    exp = _small(
+        "abgrall_l2",
+        **{
+            "model.layers": (2, 16, 16, 1),
+            "train.swa_frac": 0.5,
+            "train.out_dir": str(tmp_path),
+        },
+    )
+    tr = Trainer(exp)
+    state, summary = tr.train(tr.init_state())
+    # the averaged iterate is saved as a loadable checkpoint
+    swa_ckpt = tmp_path / f"{exp.name}_swa.ckpt"
+    assert swa_ckpt.exists()
+    restored = tr.load_checkpoint(str(swa_ckpt))
+    a0 = jax.tree_util.tree_leaves(tr.swa_params)[0]
+    r0 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(r0))
+    # epochs=300, chunk=100, window=(150, 300] -> snapshots at 200 and 300
+    assert summary["swa_snapshots"] == 2
+    assert np.isfinite(summary["swa_rel_l2_u"])
+    assert tr.swa_params is not None
+    # same structure and working dtype as the live params
+    jax.tree_util.tree_map(
+        lambda a, p: (a.shape == p.shape, a.dtype == p.dtype),
+        tr.swa_params,
+        state.params,
+    )
+    flat_a = jax.tree_util.tree_leaves(tr.swa_params)
+    flat_p = jax.tree_util.tree_leaves(state.params)
+    assert all(a.dtype == p.dtype for a, p in zip(flat_a, flat_p))
+    # swa_frac=0 leaves the summary untouched
+    tr0 = Trainer(_small("abgrall_l2", **{"model.layers": (2, 16, 16, 1)}))
+    _, s0 = tr0.train(tr0.init_state())
+    assert "swa_snapshots" not in s0 and tr0.swa_params is None
+
+
 def test_hybrid_switch_runs_lbfgs_phase():
     exp = _small(
         "abgrall_admm",
