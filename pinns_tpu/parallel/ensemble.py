@@ -164,6 +164,15 @@ def run_ensemble(
     chunk = max(1, min(exp.train.chunk, total))
     lbfgs_chunk = max(1, min(chunk // 100 or 1, 10))
     runs = {}
+    # SWA tail averaging (TrainConfig.swa_frac) over the stacked params —
+    # the trainer's jitted accumulator is shape-agnostic, so the member
+    # axis rides along and every member gets its own average
+    swa_start = (
+        total - int(round(exp.train.swa_frac * total))
+        if exp.train.swa_frac > 0.0
+        else None
+    )
+    swa_avg, swa_n = None, 0
 
     epoch = int(np.asarray(stacked.epoch).flat[0])
     t0 = time.time()
@@ -178,6 +187,8 @@ def run_ensemble(
             runs[key] = make_ensemble_chunk(trainer, length, phase)
         stacked, metrics = runs[key](stacked)
         epoch += length
+        if swa_start is not None and epoch > swa_start:
+            swa_avg, swa_n = trainer._swa_update(swa_avg, swa_n, stacked.params)
 
         # stop_tol mirrors Trainer.train (Hwan_L2's tolerance stop): for an
         # ensemble, stop once EVERY member's |loss| is under the tolerance
@@ -219,6 +230,19 @@ def run_ensemble(
     summaries = [
         dict(s, epochs=epoch) for s in evaluate_ensemble(trainer, stacked, n)
     ]
+    if swa_n > 0:
+        swa_params = jax.jit(
+            lambda a, p: jax.tree_util.tree_map(
+                lambda x, y: x.astype(y.dtype), a, p
+            )
+        )(swa_avg, stacked.params)
+        swa_stacked = stacked._replace(params=swa_params)
+        for i, member in enumerate(unstack_states(swa_stacked, n)):
+            summaries[i]["swa_snapshots"] = swa_n
+            for k, v in trainer.evaluate(member).items():
+                summaries[i][f"swa_{k}"] = v
+            if out_dir:
+                trainer.save_checkpoint(member, tag=f"swa_m{i}")
     for i, (logger, summary) in enumerate(zip(loggers, summaries)):
         logger.write_summary(dict(summary, member=i, seed=int(seeds[i])))
     if out_dir:

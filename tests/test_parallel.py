@@ -171,6 +171,37 @@ def test_ensemble_hybrid_matches_solo(tmp_path):
         np.testing.assert_allclose(w_ens, w_solo, rtol=5e-2, atol=5e-3)
 
 
+def test_ensemble_swa_matches_solo(tmp_path):
+    """SWA tail averaging inside the vmapped ensemble: every member gets its
+    own average, matching a solo run with the same seed."""
+    from pinns_tpu.parallel.ensemble import run_ensemble
+
+    updates = {
+        "model.layers": (2, 12, 12, 1),
+        "sampling.n_f": 128,
+        "train.epochs": 30,
+        "train.chunk": 10,
+        "train.swa_frac": 0.5,
+        "train.out_dir": str(tmp_path),
+    }
+    tr = Trainer(_exp(**updates))
+    seeds = [0, 1]
+    _, summaries = run_ensemble(tr, seeds)
+    # window=(15, 30] with chunk 10 -> snapshots at 20 and 30
+    for s in summaries:
+        assert s["swa_snapshots"] == 2
+        assert np.isfinite(s["swa_rel_l2_u"])
+    assert (tmp_path / f"{tr.exp.name}_swa_m0.ckpt").exists()
+    assert (tmp_path / f"{tr.exp.name}_swa_m1.ckpt").exists()
+
+    solo_tr = Trainer(_exp(**dict(updates, **{"train.out_dir": ""})))
+    _, solo_summary = solo_tr.train(solo_tr.init_state(seed=1))
+    np.testing.assert_allclose(
+        summaries[1]["swa_rel_l2_u"], solo_summary["swa_rel_l2_u"],
+        rtol=1e-3, atol=1e-5,
+    )
+
+
 def test_run_ensemble_produces_solo_artifact_set(tmp_path):
     """Ensemble runs emit the same observability artifacts as solo runs:
     metrics JSONL, snapshot CSVs, and checkpoints — per member."""
