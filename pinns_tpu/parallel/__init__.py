@@ -4,4 +4,6 @@ from pinns_tpu.parallel.ensemble import (
     init_ensemble_states,
     make_ensemble_chunk,
     evaluate_ensemble,
+    ensemble_predict,
+    run_ensemble,
 )

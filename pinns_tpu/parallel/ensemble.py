@@ -127,6 +127,33 @@ def evaluate_ensemble(trainer, stacked: TrainState, n: int) -> List[dict]:
     return [trainer.evaluate(s) for s in unstack_states(stacked, n)]
 
 
+def ensemble_predict(trainer, stacked: TrainState, x) -> dict:
+    """Deep-ensemble prediction (Lakshminarayanan et al. 2017): one vmapped
+    forward over the member axis, returning per-field ``mean`` and ``std``
+    arrays plus the raw ``members`` stack.
+
+    The reference farm's independent runs could support this only by
+    post-hoc collecting per-process CSVs; here the members live stacked on
+    device, so uncertainty is one jitted call. Returns
+    ``{field: {'mean': (N,1), 'std': (N,1), 'members': (E,N,1)}}``.
+    """
+    from pinns_tpu.train.evaluate import predict_fields
+
+    x = jnp.asarray(x, trainer.problem.spec.dtype)
+    preds = jax.jit(
+        jax.vmap(lambda p: predict_fields(trainer.problem, p, x))
+    )(stacked.params)
+    out = {}
+    for name, stack in preds.items():
+        stack32 = stack.astype(jnp.float32)
+        out[name] = {
+            "mean": np.asarray(jnp.mean(stack32, axis=0)),
+            "std": np.asarray(jnp.std(stack32, axis=0)),
+            "members": np.asarray(stack),
+        }
+    return out
+
+
 def run_ensemble(
     trainer,
     seeds: Sequence[int],

@@ -202,6 +202,28 @@ def test_ensemble_swa_matches_solo(tmp_path):
     )
 
 
+def test_ensemble_predict_mean_std():
+    """Deep-ensemble UQ: one vmapped forward gives per-field mean/std whose
+    member rows match solo predictions."""
+    from pinns_tpu.parallel.ensemble import ensemble_predict
+
+    tr = Trainer(_exp(**{"model.layers": (2, 12, 12, 1), "sampling.n_f": 128}))
+    stacked = init_ensemble_states(tr, seeds=[0, 1, 2])
+    x = tr.problem.dataset.X_star[:50]
+    out = ensemble_predict(tr, stacked, x)
+    assert out["u"]["members"].shape == (3, 50, 1)
+    assert out["u"]["mean"].shape == (50, 1)
+    assert np.all(out["u"]["std"] >= 0)
+    np.testing.assert_allclose(
+        out["u"]["mean"], out["u"]["members"].mean(axis=0), rtol=1e-5, atol=1e-6
+    )
+    # member row 1 == solo prediction with the same params
+    solo = tr.predict(tr.init_state(seed=1).params, x)
+    np.testing.assert_allclose(
+        out["u"]["members"][1], solo["u"], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_run_ensemble_produces_solo_artifact_set(tmp_path):
     """Ensemble runs emit the same observability artifacts as solo runs:
     metrics JSONL, snapshot CSVs, and checkpoints — per member."""
