@@ -41,6 +41,18 @@ RUNS = [
      {"optimizer.lr_schedule": "cosine", "train.swa_frac": 0.25,
       "train.epochs": 200_000, "optimizer.schedule_epochs": 200_000,
       "train.chunk": 250}),
+    # Euler 1M envelope (constant LR, the shipped headline config)
+    ("eu_1m_swa25", "euler_weak", {"train.swa_frac": 0.25}),
+]
+
+# 8-seed vmapped ensembles with SWA — one program each, same configs as the
+# r2_*_ensemble8 band runs so SWA's effect on the band is directly readable
+ENSEMBLE_RUNS = [
+    ("ts_ens8_swa25", "twosin_weak", {"train.swa_frac": 0.25}),
+    ("eu_ens8_swa25", "euler_weak",
+     {"optimizer.lr_schedule": "cosine", "train.swa_frac": 0.25,
+      "train.epochs": 200_000, "optimizer.schedule_epochs": 200_000,
+      "train.chunk": 250}),
 ]
 
 
@@ -61,6 +73,26 @@ def run(tag, preset, overrides):
     return rec
 
 
+def run_ens(tag, preset, overrides, n=8):
+    from pinns_tpu.parallel.ensemble import run_ensemble
+
+    base = {"train.log_every": 0}
+    base.update(overrides)
+    exp = override(get_preset(preset), base)
+    tr = Trainer(exp)
+    seeds = [exp.train.seed + i for i in range(n)]
+    t0 = time.time()
+    _, summaries = run_ensemble(tr, seeds)
+    wall = round(time.time() - t0, 1)
+    for i, s in enumerate(summaries):
+        rec = {
+            "tag": tag, "member": i, "seed": seeds[i], "wall_s": wall,
+            **{k: round(float(v), 4) for k, v in s.items()
+               if "rel_l2" in k},
+        }
+        print(json.dumps(rec), flush=True)
+
+
 def main():
     only = set(sys.argv[1:])
     print("# swa tail-averaging study", flush=True)
@@ -68,6 +100,10 @@ def main():
         if only and tag not in only:
             continue
         run(tag, preset, ov)
+    for tag, preset, ov in ENSEMBLE_RUNS:
+        if only and tag not in only:
+            continue
+        run_ens(tag, preset, ov)
 
 
 if __name__ == "__main__":

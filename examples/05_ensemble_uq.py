@@ -1,0 +1,58 @@
+"""Deep-ensemble training + uncertainty quantification in one program.
+
+The reference parallelizes independent runs as MPI farm jobs
+(``scheduler.py:70-127``) and offers no uncertainty output; here E members
+train as ONE vmapped XLA program (`run_ensemble`) and `ensemble_predict`
+returns per-field mean/std over the members in a single call. SWA tail
+averaging (`train.swa_frac`) additionally reports each member's averaged
+iterate next to its final one.
+
+    python examples/05_ensemble_uq.py [--quick]
+
+Prints the per-member and SWA rel-L2 band, then the ensemble-mean
+prediction's rel-L2 (usually at or below the best member) and the
+correlation between predictive std and actual error — the UQ signal.
+"""
+
+import sys
+
+import numpy as np
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import get_preset
+from pinns_tpu.parallel.ensemble import (
+    ensemble_predict,
+    init_ensemble_states,
+    run_ensemble,
+)
+from pinns_tpu.train import Trainer
+from pinns_tpu.train.evaluate import relative_l2
+
+exp = override(get_preset("abgrall_l2"), {"train.swa_frac": 0.25})
+if "--quick" in sys.argv:
+    exp = override(exp, {
+        "model.layers": (2, 20, 20, 1),
+        "train.epochs": 3000,
+        "train.chunk": 500,
+        "sampling.n_f": 1000,
+    })
+
+trainer = Trainer(exp)
+seeds = [exp.train.seed + i for i in range(4)]
+stacked, summaries = run_ensemble(trainer, seeds)
+
+for i, s in enumerate(summaries):
+    print(
+        f"member {i} (seed {seeds[i]}): rel-L2 {s['rel_l2_u']:.3e}"
+        f"  swa {s['swa_rel_l2_u']:.3e}"
+    )
+
+ds = trainer.problem.dataset
+out = ensemble_predict(trainer, stacked, ds.X_star)
+mean_err = relative_l2(out["u"]["mean"], ds.star["u"])
+print(f"ensemble-mean rel-L2: {mean_err:.3e}")
+
+# UQ signal: does the predictive std rank the actual pointwise error?
+err = np.abs(out["u"]["mean"] - np.asarray(ds.star["u"]))
+corr = np.corrcoef(out["u"]["std"].ravel(), err.ravel())[0, 1]
+print(f"std-vs-|error| correlation: {corr:.3f}")
