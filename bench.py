@@ -19,10 +19,17 @@ Prints ONE JSON line.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Watchdog: on the tunneled backend a dead relay hangs jax.devices()/compile
+# forever; fail loudly instead so the caller gets a diagnostic, not a stall.
+# Generous default — first fresh compiles here have measured at 400-1200 s.
+BENCH_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
 
 # Measured by benchmarks/reference_cpu_baseline.py on this image's CPU
 # (6 threads, canonical abgrall_admm config). Regenerate with:
@@ -120,5 +127,26 @@ def main():
     )
 
 
+def _watchdog():
+    # A thread, not SIGALRM: a dead relay blocks the main thread inside a
+    # C call, where Python-level signal handlers never get to run. os._exit
+    # from a daemon thread works regardless of main-thread state.
+    print(
+        f"bench.py: no result within BENCH_TIMEOUT_S={BENCH_TIMEOUT_S}s — "
+        "the TPU relay is likely down (jax.devices()/compile hangs "
+        "indefinitely when it is). Probe with a small jit(grad) program; "
+        "see CLAUDE.md environment rules.",
+        file=sys.stderr,
+    )
+    sys.stderr.flush()
+    os._exit(66)
+
+
 if __name__ == "__main__":
+    import threading
+
+    timer = threading.Timer(BENCH_TIMEOUT_S, _watchdog)
+    timer.daemon = True
+    timer.start()
     main()
+    timer.cancel()
