@@ -56,3 +56,8 @@ print(f"ensemble-mean rel-L2: {mean_err:.3e}")
 err = np.abs(out["u"]["mean"] - np.asarray(ds.star["u"]))
 corr = np.corrcoef(out["u"]["std"].ravel(), err.ravel())[0, 1]
 print(f"std-vs-|error| correlation: {corr:.3f}")
+
+if "--plot" in sys.argv:
+    from pinns_tpu.viz.plots import plot_uncertainty
+
+    print(plot_uncertainty(ds, out, out_path="ensemble_uq.png"))

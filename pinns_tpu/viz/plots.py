@@ -87,6 +87,78 @@ def plot_solution(
     return out_path
 
 
+def plot_uncertainty(
+    ds,
+    uq: Dict[str, Dict[str, np.ndarray]],
+    out_path: str = "uncertainty.png",
+    title: str = "",
+):
+    """Render deep-ensemble uncertainty (`ensemble_predict` output): per field
+    a predictive-std heatmap plus t-slices of the ensemble mean with a ±2σ
+    band against the exact solution. Same panel layout as `plot_solution`.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fields = [k for k in ds.field_names if k in uq]
+    nt = ds.t.shape[0]
+    slice_idx = [nt // 4, nt // 2, (3 * nt) // 4]
+
+    fig, axes = plt.subplots(
+        len(fields), 4, figsize=(16, 4 * len(fields)), squeeze=False,
+        gridspec_kw={"width_ratios": [2, 1, 1, 1]},
+    )
+    for row, name in enumerate(fields):
+        exact = ds.fields[name]
+        mean = _grid_pred(ds, uq[name]["mean"])
+        std = _grid_pred(ds, uq[name]["std"])
+        ax = axes[row][0]
+        h = ax.imshow(
+            std.T,
+            interpolation="nearest",
+            cmap="viridis",
+            extent=[ds.t.min(), ds.t.max(), ds.x.min(), ds.x.max()],
+            origin="lower",
+            aspect="auto",
+        )
+        fig.colorbar(h, ax=ax, fraction=0.046)
+        ax.set_xlabel("$t$")
+        ax.set_ylabel("$x$")
+        n_members = uq[name]["members"].shape[0]
+        ax.set_title(
+            f"$\\sigma[{name}](t,x)$, {n_members} members"
+            + (f" — {title}" if title else "")
+        )
+
+        for col, ti in enumerate(slice_idx, start=1):
+            ax = axes[row][col]
+            ax.plot(ds.x.ravel(), exact[ti], "b-", linewidth=2, label="Exact")
+            ax.plot(
+                ds.x.ravel(), mean[ti], "r--", linewidth=2, label="Ens. mean"
+            )
+            ax.fill_between(
+                ds.x.ravel(),
+                mean[ti] - 2 * std[ti],
+                mean[ti] + 2 * std[ti],
+                color="r",
+                alpha=0.2,
+                label="$\\pm 2\\sigma$",
+            )
+            ax.set_xlabel("$x$")
+            ax.set_ylabel(f"${name}(t,x)$")
+            ax.set_title(f"$t = {float(ds.t[ti, 0]):.2f}$")
+            if col == 2:
+                ax.legend(loc="best", fontsize=8)
+
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def load_snapshots(csv_path: str):
     """Read a snapshot stream CSV -> (header, array, epochs present)."""
     import csv as csv_mod

@@ -144,3 +144,24 @@ def test_cli_polish(tmp_path):
     )
     assert rc == 0
     assert os.path.exists(ckpt + ".polished.ckpt")
+
+
+def test_plot_uncertainty(tmp_path):
+    """ensemble_predict output renders as a std heatmap + ±2σ band figure."""
+    from pinns_tpu.experiments import get_preset
+    from pinns_tpu.config import override
+    from pinns_tpu.parallel.ensemble import ensemble_predict, init_ensemble_states
+    from pinns_tpu.train import Trainer
+    from pinns_tpu.viz.plots import plot_uncertainty
+
+    exp = override(get_preset("abgrall_l2"), {
+        "model.layers": (2, 12, 12, 1), "sampling.n_f": 128,
+    })
+    tr = Trainer(exp)
+    stacked = init_ensemble_states(tr, seeds=[0, 1, 2])
+    uq = ensemble_predict(tr, stacked, tr.problem.dataset.X_star)
+    out = plot_uncertainty(
+        tr.problem.dataset, uq, out_path=str(tmp_path / "uq.png"),
+        title="test",
+    )
+    assert os.path.exists(out) and os.path.getsize(out) > 10_000
