@@ -163,6 +163,18 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_export(args):
+    from pinns_tpu.serve import export_predict
+    from pinns_tpu.train import Trainer
+
+    exp = _build_exp(args)
+    trainer = Trainer(exp)
+    state = trainer.load_checkpoint(args.checkpoint)
+    path = export_predict(trainer, state.params, args.out)
+    print(path)
+    return 0
+
+
 def cmd_plot(args):
     from pinns_tpu.train import Trainer
     from pinns_tpu.viz.plots import plot_from_snapshots, plot_solution
@@ -343,6 +355,16 @@ def main(argv=None):
     add_common(p)
     p.add_argument("--checkpoint", required=True)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser(
+        "export",
+        help="export a checkpoint as a self-contained serving artifact "
+        "(StableHLO, weights baked in, symbolic batch dim)",
+    )
+    add_common(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", default="exported_model", help="artifact directory")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("plot", help="solution/comparison figure")
     add_common(p)

@@ -1,0 +1,97 @@
+"""Model export for serving: ahead-of-time compiled prediction artifacts.
+
+The reference has no deployment story — predictions exist only inside the
+training process (``Abgrall_ADMM.py`` ``predict``/``run_NN`` print-and-CSV).
+Here the trained model exports to a self-contained StableHLO artifact
+(``jax.export``): the weights are baked in as constants, the batch dimension
+is symbolic (serve any N), and loading needs only jax — no Experiment
+config, dataset, or framework code. The artifact is hardware-portable the
+way XLA programs are: the same file serves on TPU, GPU, or CPU backends.
+
+Format: ``<path>`` is a directory with ``model.shlo`` (serialized exported
+function) and ``meta.json`` (field names, input spec, experiment name,
+framework version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+_META_NAME = "meta.json"
+_BLOB_NAME = "model.shlo"
+
+
+def export_predict(trainer, params=None, path: str = "exported_model") -> str:
+    """Export the trainer's full prediction function (fields + residuals) as
+    a serving artifact with the given params (default: freshly initialized —
+    pass ``state.params`` from a trained state, or ``trainer.swa_params``).
+
+    The batch dimension is exported symbolically, so the served function
+    accepts any number of query points.
+    """
+    from pinns_tpu.train.evaluate import predict_fields
+
+    problem = trainer.problem
+    if params is None:
+        params = trainer.init_state().params
+    # move params out of any sharded layout; they serialize as constants
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    def fn(x):
+        return predict_fields(problem, params, x)
+
+    (b,) = jax_export.symbolic_shape("b")
+    x_spec = jax.ShapeDtypeStruct((b, 2), problem.spec.dtype)
+    exported = jax_export.export(jax.jit(fn))(x_spec)
+    blob = exported.serialize()
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _BLOB_NAME), "wb") as f:
+        f.write(blob)
+    # a probe call recovers the output names; exported.out_tree is jax-internal
+    probe = jax.eval_shape(fn, jax.ShapeDtypeStruct((2, 2), problem.spec.dtype))
+    meta = {
+        "experiment": trainer.exp.name,
+        "fields": sorted(probe.keys()),
+        "input": {"shape": ["b", 2], "dtype": str(problem.spec.dtype.__name__
+                  if hasattr(problem.spec.dtype, "__name__")
+                  else np.dtype(problem.spec.dtype).name)},
+        "pde": trainer.exp.pde.kind,
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+class ServedModel:
+    """A loaded export: ``predict(x) -> {field: (N, 1) np.ndarray}``.
+
+    Needs only jax + the artifact directory; runs on whatever backend jax
+    has (the export carries no device placement).
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, _META_NAME)) as f:
+            self.meta = json.load(f)
+        with open(os.path.join(path, _BLOB_NAME), "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        self._call = jax.jit(self._exported.call)
+
+    @property
+    def fields(self):
+        return self.meta["fields"]
+
+    def predict(self, x) -> Dict[str, np.ndarray]:
+        x = np.asarray(x, dtype=self.meta["input"]["dtype"])
+        out = self._call(x)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def load_exported(path: str) -> ServedModel:
+    return ServedModel(path)

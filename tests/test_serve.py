@@ -1,0 +1,83 @@
+"""Export/serving path: StableHLO artifacts round-trip and match the trainer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import get_preset
+from pinns_tpu.serve import export_predict, load_exported
+from pinns_tpu.train import Trainer
+
+HAVE_REF = os.path.isdir("/root/reference")
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+
+
+def _trained(preset, **updates):
+    base = {
+        "model.layers": (2, 12, 12, 1),
+        "sampling.n_f": 128,
+        "train.epochs": 100,
+        "train.chunk": 50,
+    }
+    base.update(updates)
+    tr = Trainer(override(get_preset(preset), base))
+    state, _ = tr.train()
+    return tr, state
+
+
+def test_export_roundtrip_matches_trainer(tmp_path):
+    tr, state = _trained("abgrall_l2")
+    path = export_predict(tr, state.params, str(tmp_path / "m"))
+    served = load_exported(path)
+    assert served.fields == ["f", "u"]
+    x = tr.problem.dataset.X_star[:77]  # odd N exercises the symbolic batch
+    want = tr.predict(state.params, x)
+    got = served.predict(x)
+    for k in ("u", "f"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6)
+
+
+def test_export_euler_multifield(tmp_path):
+    tr, state = _trained("euler_admm", **{"model.layers": (2, 16, 16, 3)})
+    path = export_predict(tr, state.params, str(tmp_path / "m"))
+    served = load_exported(path)
+    assert set(served.fields) == {"rho", "u", "E", "f1", "f2", "f3"}
+    x = tr.problem.dataset.X_star[:33]
+    want = tr.predict(state.params, x)
+    got = served.predict(x)
+    np.testing.assert_allclose(got["rho"], want["rho"], rtol=1e-5, atol=1e-6)
+
+
+def test_export_artifact_is_self_contained(tmp_path):
+    """Loading uses only the artifact dir — no Experiment/preset needed."""
+    tr, state = _trained("abgrall_l2")
+    path = export_predict(tr, state.params, str(tmp_path / "m"))
+    assert (tmp_path / "m" / "model.shlo").exists()
+    assert (tmp_path / "m" / "meta.json").exists()
+    served = load_exported(path)
+    assert served.meta["pde"] == "burgers"
+    out = served.predict(np.zeros((5, 2)))
+    assert out["u"].shape == (5, 1)
+
+
+def test_cli_export(tmp_path):
+    from pinns_tpu.cli import main as cli_main
+
+    out_dir = str(tmp_path)
+    rc = cli_main([
+        "train", "--preset", "abgrall_l2", "--epochs", "100",
+        "--set", "model.layers=(2,12,12,1)", "--set", "sampling.n_f=128",
+        "--set", "train.chunk=50", "--out-dir", out_dir,
+    ])
+    assert rc == 0
+    rc = cli_main([
+        "export", "--preset", "abgrall_l2",
+        "--set", "model.layers=(2,12,12,1)", "--set", "sampling.n_f=128",
+        "--checkpoint", os.path.join(out_dir, "abgrall_l2_final.ckpt"),
+        "--out", os.path.join(out_dir, "artifact"),
+    ])
+    assert rc == 0
+    served = load_exported(os.path.join(out_dir, "artifact"))
+    assert served.predict(np.zeros((3, 2)))["u"].shape == (3, 1)
