@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""L-BFGS lock-in on the MATCHED recipes (round 2, follow-up to flux5/flux9).
+
+flux3 measured L-BFGS lock-in as a negative on the INVISCID causal TwoSin
+recipe (0.140 vs 0.0745): the sharp inviscid objective is badly conditioned
+at the front. The shipped recipes have since changed character — both now
+match the dataset's identified dissipation (twosin_weak lambda2=1e-3,
+euler_weak nu=1e-3), which PARITY 4k showed collapses the seed spread
+because the objective is far better conditioned. A quasi-Newton tail is
+exactly the move for a well-conditioned converged basin, so the negative
+deserves a re-test on the matched objectives.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/lockin_study.py [tags]
+"""
+
+import json
+import sys
+import time
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import get_preset
+from pinns_tpu.train import Trainer
+
+LOCKIN = {
+    "optimizer.kind": "hybrid",
+    "optimizer.switch_epoch": 200_000,
+    "optimizer.schedule_epochs": 200_000,
+}
+
+RUNS = [
+    # TwoSin matched recipe + L-BFGS tail (50 outer epochs)
+    ("ts_lockin", "twosin_weak", LOCKIN, 200_050),
+    # Euler fast-budget recipe (cosine 200k) + L-BFGS tail
+    ("eu_fast_lockin", "euler_weak",
+     {**LOCKIN, "optimizer.lr_schedule": "cosine", "train.chunk": 250},
+     200_050),
+]
+
+
+def run(tag, preset, overrides, epochs):
+    base = {"train.epochs": epochs, "train.log_every": 0}
+    base.update(overrides)
+    exp = override(get_preset(preset), base)
+    t0 = time.time()
+    state, s = Trainer(exp).train()
+    rec = {
+        "tag": tag,
+        "epochs": epochs,
+        "wall_s": round(time.time() - t0, 1),
+        **{k: round(float(v), 4) for k, v in s.items()
+           if "rel_l2" in k},
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    only = set(sys.argv[1:])
+    print("# L-BFGS lock-in on matched recipes", flush=True)
+    for tag, preset, ov, ep in RUNS:
+        if only and tag not in only:
+            continue
+        run(tag, preset, ov, ep)
+
+
+if __name__ == "__main__":
+    main()
