@@ -59,10 +59,52 @@ def export_predict(trainer, params=None, path: str = "exported_model") -> str:
     meta = {
         "experiment": trainer.exp.name,
         "fields": sorted(probe.keys()),
-        "input": {"shape": ["b", 2], "dtype": str(problem.spec.dtype.__name__
-                  if hasattr(problem.spec.dtype, "__name__")
-                  else np.dtype(problem.spec.dtype).name)},
+        "input": {"shape": ["b", 2], "dtype": np.dtype(problem.spec.dtype).name},
         "pde": trainer.exp.pde.kind,
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble") -> str:
+    """Export a deep-ensemble UQ predictor: one artifact whose outputs are
+    per-field ``{name}`` (ensemble mean) and ``{name}_std`` over the stacked
+    member axis. Serving uncertainty costs one call, like the point model.
+    """
+    import jax.numpy as jnp
+
+    from pinns_tpu.train.evaluate import predict_fields
+
+    problem = trainer.problem
+    stacked_params = jax.tree_util.tree_map(np.asarray, stacked_params)
+
+    def fn(x):
+        preds = jax.vmap(lambda p: predict_fields(problem, p, x))(
+            stacked_params
+        )
+        out = {}
+        for name, stack in preds.items():
+            s32 = stack.astype(jnp.float32)
+            out[name] = jnp.mean(s32, axis=0)
+            out[f"{name}_std"] = jnp.std(s32, axis=0)
+        return out
+
+    (b,) = jax_export.symbolic_shape("b")
+    x_spec = jax.ShapeDtypeStruct((b, 2), problem.spec.dtype)
+    exported = jax_export.export(jax.jit(fn))(x_spec)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _BLOB_NAME), "wb") as f:
+        f.write(exported.serialize())
+    probe = jax.eval_shape(fn, jax.ShapeDtypeStruct((2, 2), problem.spec.dtype))
+    n_members = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    meta = {
+        "experiment": trainer.exp.name,
+        "fields": sorted(probe.keys()),
+        "input": {"shape": ["b", 2], "dtype": np.dtype(problem.spec.dtype).name},
+        "pde": trainer.exp.pde.kind,
+        "ensemble_members": int(n_members),
     }
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f, indent=1)

@@ -81,3 +81,27 @@ def test_cli_export(tmp_path):
     assert rc == 0
     served = load_exported(os.path.join(out_dir, "artifact"))
     assert served.predict(np.zeros((3, 2)))["u"].shape == (3, 1)
+
+
+def test_export_ensemble_uq(tmp_path):
+    """The ensemble export serves mean + std per field from one artifact,
+    matching ensemble_predict."""
+    from pinns_tpu.parallel.ensemble import (
+        ensemble_predict,
+        init_ensemble_states,
+    )
+    from pinns_tpu.serve import export_ensemble
+
+    tr, _ = _trained("abgrall_l2")
+    stacked = init_ensemble_states(tr, seeds=[0, 1, 2])
+    path = export_ensemble(tr, stacked.params, str(tmp_path / "ens"))
+    served = load_exported(path)
+    assert served.meta["ensemble_members"] == 3
+    assert "u_std" in served.fields
+    x = tr.problem.dataset.X_star[:41]
+    got = served.predict(x)
+    want = ensemble_predict(tr, stacked, x)
+    np.testing.assert_allclose(got["u"], want["u"]["mean"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        got["u_std"], want["u"]["std"], rtol=1e-4, atol=1e-6
+    )
