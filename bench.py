@@ -20,6 +20,7 @@ Prints ONE JSON line.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -30,6 +31,91 @@ import jax.numpy as jnp
 # forever; fail loudly instead so the caller gets a diagnostic, not a stall.
 # Generous default — first fresh compiles here have measured at 400-1200 s.
 BENCH_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
+
+# Relay-health probe + retry budget: a tiny jit(grad) program is compiled in a
+# SUBPROCESS (so a hung relay kills the child, not us) before any real work.
+# On failure we back off and retry — transient relay outages have lasted
+# minutes-to-hours here — until the budget runs out, then emit a fallback
+# JSON line citing the last successful capture instead of dying silently.
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
+PROBE_BUDGET_S = int(os.environ.get("BENCH_PROBE_BUDGET_S", "1800"))
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CACHE.json")
+
+_PROBE_SRC = """
+import os
+import jax, jax.numpy as jnp
+# sitecustomize pins jax_platforms on this box; honor an explicit env
+# override so the probe can be exercised on CPU (see CLAUDE.md gotcha).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+f = jax.jit(jax.grad(lambda x: jnp.sum(jnp.tanh(x) ** 2)))
+assert float(f(jnp.ones((37,))).sum()) != 0.0
+print("PROBE_OK", jax.devices()[0])
+"""
+
+
+def _probe_backend_once():
+    """True iff a fresh subprocess can init the backend and jit a tiny grad."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=PROBE_TIMEOUT_S,
+            capture_output=True,
+            text=True,
+        )
+        return r.returncode == 0 and "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _probe_with_retries():
+    """Probe until success or PROBE_BUDGET_S is exhausted. Returns bool."""
+    deadline = time.time() + PROBE_BUDGET_S
+    delay = 60.0
+    attempt = 1
+    while True:
+        t0 = time.time()
+        if _probe_backend_once():
+            print(f"bench.py: relay probe ok (attempt {attempt})", file=sys.stderr)
+            return True
+        left = deadline - time.time()
+        print(
+            f"bench.py: relay probe failed (attempt {attempt}, "
+            f"{time.time() - t0:.0f}s); {left:.0f}s of retry budget left",
+            file=sys.stderr,
+        )
+        if left <= delay:
+            return False
+        time.sleep(delay)
+        delay = min(delay * 2, 480.0)
+        attempt += 1
+
+
+def _emit_fallback_and_exit():
+    """Backend unreachable: print ONE JSON line that says so, carrying the
+    last driver/self-captured numbers (with provenance) so the record is not
+    empty, then exit nonzero — a cached number is a note, not a measurement."""
+    cached = None
+    try:
+        with open(_CACHE_PATH) as f:
+            cached = json.load(f)
+    except Exception:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "collocation_pts_per_sec_flagship_admm_step",
+                "value": None,
+                "unit": "pts/sec/chip",
+                "vs_baseline": None,
+                "error": "tpu_relay_unreachable_after_retries",
+                "probe_budget_s": PROBE_BUDGET_S,
+                "cached_last_success": cached,
+            }
+        )
+    )
+    sys.stdout.flush()
+    os._exit(66)
 
 # Measured by benchmarks/reference_cpu_baseline.py on this image's CPU
 # (6 threads, canonical abgrall_admm config). Regenerate with:
@@ -106,25 +192,34 @@ def main():
         Trainer(mixed), chunk_len=10, n_chunks=4, n_f=mixed.sampling.n_f
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "collocation_pts_per_sec_flagship_admm_step",
-                "value": round(pts_per_sec, 1),
-                "unit": "pts/sec/chip",
-                "vs_baseline": round(pts_per_sec / CPU_REFERENCE_PTS_PER_SEC, 2),
-                "extra": {
-                    "steps_per_sec_canonical": round(steps_per_sec, 1),
-                    "admm_65k_pts_per_sec": round(big_pts, 1),
-                    "scale_1M_pts_per_sec": round(scale_pts, 1),
-                    "scale_1M_mixed_pts_per_sec": round(mixed_pts, 1),
-                    "scale_steps_per_sec": round(scale_steps, 2),
-                    "device": str(jax.devices()[0]),
-                    "cpu_baseline_pts_per_sec": CPU_REFERENCE_PTS_PER_SEC,
+    result = {
+        "metric": "collocation_pts_per_sec_flagship_admm_step",
+        "value": round(pts_per_sec, 1),
+        "unit": "pts/sec/chip",
+        "vs_baseline": round(pts_per_sec / CPU_REFERENCE_PTS_PER_SEC, 2),
+        "extra": {
+            "steps_per_sec_canonical": round(steps_per_sec, 1),
+            "admm_65k_pts_per_sec": round(big_pts, 1),
+            "scale_1M_pts_per_sec": round(scale_pts, 1),
+            "scale_1M_mixed_pts_per_sec": round(mixed_pts, 1),
+            "scale_steps_per_sec": round(scale_steps, 2),
+            "device": str(jax.devices()[0]),
+            "cpu_baseline_pts_per_sec": CPU_REFERENCE_PTS_PER_SEC,
+        },
+    }
+    print(json.dumps(result))
+    try:  # remember this capture so a future relay outage has provenance
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(
+                {
+                    "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "provenance": "live bench.py capture on " + result["extra"]["device"],
+                    "result": result,
                 },
-            }
-        )
-    )
+                f,
+            )
+    except OSError:
+        pass
 
 
 def _watchdog():
@@ -145,6 +240,8 @@ def _watchdog():
 if __name__ == "__main__":
     import threading
 
+    if not _probe_with_retries():
+        _emit_fallback_and_exit()
     timer = threading.Timer(BENCH_TIMEOUT_S, _watchdog)
     timer.daemon = True
     timer.start()
