@@ -297,15 +297,28 @@ def cmd_generate_data(args):
 
     from pinns_tpu.data import generators as g
 
+    native = {  # each dataset's native (nx, nt)
+        "burgers_shock": (256, 100), "burgers_twosin": (513, 101),
+        "twosin_dataset": (513, 101), "abgrall_dataset": (257, 257),
+        "euler": (1500, 157),
+    }[args.kind]
+    nx = args.nx or native[0]
+    nt = args.nt or native[1]
     if args.kind == "burgers_shock":
-        data = g.make_burgers_shock_grid(nx=args.nx, nt=args.nt, nu=args.nu)
+        data = g.make_burgers_shock_grid(nx=nx, nt=nt, nu=args.nu)
     elif args.kind == "burgers_twosin":
         data = g.burgers_fv(
-            g.two_sin_ic, nx=args.nx, nt=args.nt, t_final=args.t_final,
-            nu=args.nu,
+            g.two_sin_ic, nx=nx, nt=nt, t_final=args.t_final, nu=args.nu,
         )
+    elif args.kind == "twosin_dataset":
+        # faithful reproduction of TwoSin_burgers_shock.mat (identified IC +
+        # measured adaptive-CFL clock; max 3.2% vs the stored artifact)
+        data = g.make_twosin_grid(nx=nx, nt=nt)
+    elif args.kind == "abgrall_dataset":
+        # faithful reproduction of Abgrall_burgers_shock.mat (max 2.7%)
+        data = g.make_abgrall_burgers_grid(nx=nx, nt=nt)
     elif args.kind == "euler":
-        data = g.euler_solve(nx=args.nx, n_snapshots=args.nt, t_final=args.t_final)
+        data = g.euler_solve(nx=nx, n_snapshots=nt, t_final=args.t_final)
     else:
         raise SystemExit(f"unknown kind {args.kind!r}")
     print(g.save_mat(args.out, data))
@@ -395,10 +408,12 @@ def main(argv=None):
         "generate-data", help="generate ground-truth datasets natively (no MATLAB)"
     )
     p.add_argument("--kind", required=True,
-                   choices=["burgers_shock", "burgers_twosin", "euler"])
+                   choices=["burgers_shock", "burgers_twosin",
+                            "twosin_dataset", "abgrall_dataset", "euler"])
     p.add_argument("--out", required=True, help="output .mat path")
-    p.add_argument("--nx", type=int, default=256)
-    p.add_argument("--nt", type=int, default=100)
+    p.add_argument("--nx", type=int, default=None,
+                   help="grid points (default: the dataset's native size)")
+    p.add_argument("--nt", type=int, default=None)
     p.add_argument("--nu", type=float, default=0.01 / 3.141592653589793)
     p.add_argument("--t-final", type=float, default=1.0)
     p.set_defaults(fn=cmd_generate_data)

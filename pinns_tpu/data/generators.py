@@ -210,14 +210,24 @@ def burgers_fv(
     nu: float = 0.0,
     xlim: Tuple[float, float] = (-1.0, 1.0),
     cfl: float = 0.4,
+    periodic: bool = False,
+    t_offset: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Scalar (in)viscid Burgers solve: Godunov flux + central viscous term,
     SSP-RK3, fixed dt. Returns {x, t, usol:(Nx, Nt)} — the machinery for
     TwoSin-style datasets (the reference ships TwoSin_burgers_shock.mat with
-    no generator in-tree)."""
+    no generator in-tree). ``periodic`` switches the outflow (zero-gradient)
+    boundaries to periodic ghost cells (x[0] and x[-1] are the SAME physical
+    point, as in the stored Abgrall grid). ``t_offset`` evolves the IC by
+    that much time before the first snapshot (snapshots still labeled from
+    0) — used when a stored grid's t=0 column is itself an evolved state."""
     x = jnp.linspace(xlim[0], xlim[1], nx, dtype=jnp.float32)
     dx = float(x[1] - x[0])
     u0 = jnp.asarray(ic(np.asarray(x)), jnp.float32).reshape(-1)
+    if periodic:
+        # evolve the cells [0, nx-1); the duplicated right endpoint is
+        # re-appended to snapshots at the end
+        u0 = u0[:-1]
 
     smax = float(jnp.max(jnp.abs(u0))) + 1e-6
     dt_adv = cfl * dx / (smax * 1.6)
@@ -226,6 +236,7 @@ def burgers_fv(
         dt = min(dt, 0.4 * dx * dx / (2 * nu))
     steps_per_snap = max(1, int(np.ceil(t_final / (nt - 1) / dt)))
     dt = t_final / (nt - 1) / steps_per_snap
+    offset_steps = max(0, int(round(t_offset / dt)))
 
     def godunov_flux(ul, ur):
         # exact Riemann flux for f(u) = u^2/2
@@ -235,12 +246,22 @@ def burgers_fv(
         return jnp.where(ul > ur, shock, raref)
 
     def rhs(u):
-        up = jnp.concatenate([u[:1], u, u[-1:]])
+        if periodic:
+            up = jnp.concatenate([u[-1:], u, u[:1]])
+        else:
+            up = jnp.concatenate([u[:1], u, u[-1:]])
         du = _minmod(up[1:-1] - up[:-2], up[2:] - up[1:-1])
-        ul = jnp.concatenate([u[:1], u + 0.5 * du])
-        ur = jnp.concatenate([u - 0.5 * du, u[-1:]])
-        flux = godunov_flux(ul, ur)
-        adv = -(flux[1:] - flux[:-1]) / dx
+        if periodic:
+            # face i sits between cells i-1 and i (wrapped); nx-1 faces
+            ul = jnp.roll(u + 0.5 * du, 1)
+            ur = u - 0.5 * du
+            flux = godunov_flux(ul, ur)
+            adv = -(jnp.roll(flux, -1) - flux) / dx
+        else:
+            ul = jnp.concatenate([u[:1], u + 0.5 * du])
+            ur = jnp.concatenate([u - 0.5 * du, u[-1:]])
+            flux = godunov_flux(ul, ur)
+            adv = -(flux[1:] - flux[:-1]) / dx
         if nu > 0:
             lap = (up[2:] - 2 * up[1:-1] + up[:-2]) / (dx * dx)
             return adv + nu * lap
@@ -256,8 +277,12 @@ def burgers_fv(
         u, _ = jax.lax.scan(rk3, u, None, length=steps_per_snap)
         return u, u
 
+    if offset_steps:
+        u0, _ = jax.lax.scan(rk3, u0, None, length=offset_steps)
     _, traj = jax.lax.scan(snapshot_step, u0, None, length=nt - 1)
     traj = jnp.concatenate([u0[None], traj], axis=0)  # (Nt, Nx)
+    if periodic:  # re-append the duplicated right endpoint column
+        traj = jnp.concatenate([traj, traj[:, :1]], axis=1)
     return {
         "x": np.asarray(x).reshape(-1, 1),
         "t": np.linspace(0.0, t_final, nt).reshape(-1, 1),
@@ -281,6 +306,101 @@ def two_sin_ic(x: np.ndarray) -> np.ndarray:
     — fits to 0.037).
     """
     return np.sin(2.0 * np.pi * x)
+
+
+# Measured per-column physical times tau(k) of TwoSin_burgers_shock.mat —
+# the stored grid's 101 columns (labeled t = linspace(0, 1, 101)) each match
+# the viscous (nu = 1e-3) Godunov evolution of u0 = sin(2*pi*x) at these
+# times (max column rel-L2 3.2%, snapshot resolution 5e-4; re-derive with
+# benchmarks/abgrall_ident.py's sibling scan — see PARITY.md section 2).
+# The drifting spacing (0.0035 -> 0.0045) is the adaptive-CFL signature that
+# falsified the label axis as physical time.
+TWOSIN_TAU = (
+    0.0100, 0.0135, 0.0175, 0.0210, 0.0245, 0.0285, 0.0320, 0.0360, 0.0395,
+    0.0430, 0.0470, 0.0505, 0.0540, 0.0575, 0.0615, 0.0650, 0.0685, 0.0725,
+    0.0760, 0.0795, 0.0830, 0.0870, 0.0905, 0.0940, 0.0975, 0.1010, 0.1045,
+    0.1085, 0.1120, 0.1155, 0.1190, 0.1225, 0.1260, 0.1295, 0.1325, 0.1360,
+    0.1395, 0.1430, 0.1460, 0.1495, 0.1530, 0.1560, 0.1595, 0.1625, 0.1655,
+    0.1690, 0.1720, 0.1755, 0.1795, 0.1830, 0.1875, 0.1920, 0.1970, 0.2020,
+    0.2070, 0.2115, 0.2160, 0.2205, 0.2245, 0.2290, 0.2330, 0.2370, 0.2415,
+    0.2455, 0.2495, 0.2535, 0.2575, 0.2615, 0.2655, 0.2695, 0.2730, 0.2770,
+    0.2810, 0.2850, 0.2890, 0.2930, 0.2970, 0.3010, 0.3050, 0.3095, 0.3135,
+    0.3175, 0.3215, 0.3255, 0.3295, 0.3340, 0.3380, 0.3420, 0.3465, 0.3505,
+    0.3550, 0.3590, 0.3635, 0.3680, 0.3720, 0.3765, 0.3810, 0.3855, 0.3895,
+    0.3940, 0.3985,
+)
+
+
+def make_twosin_grid(
+    nx: int = 513, nt: int = 101, nu: float = 1e-3, fv_nx: int = 2049
+) -> Dict[str, np.ndarray]:
+    """Regenerate TwoSin_burgers_shock.mat natively (513x101, x in [-1,1],
+    labels t = linspace(0,1,101)): evolve u0 = sin(2*pi*x) with the viscous
+    Godunov solver and sample the measured per-column times ``TWOSIN_TAU``.
+    Validated vs the stored reference grid: max column rel-L2 3.2 %, mean
+    2.1 % (grid-converged; reference ships no generator —
+    ``Burgers/Data/TwoSin_burgers_shock.mat``)."""
+    taus = np.asarray(TWOSIN_TAU)
+    if nt != len(taus):  # interpolate the measured clock to other column counts
+        taus = np.interp(np.linspace(0, 1, nt), np.linspace(0, 1, len(taus)), taus)
+    t_final = float(taus[-1] + 0.01)
+    n_snap = int(round(t_final / 5e-4)) + 1
+    out = burgers_fv(
+        two_sin_ic, nx=fv_nx, nt=n_snap, t_final=t_final, nu=nu,
+        xlim=(-1.0, 1.0), periodic=True,
+    )
+    snap_t = out["t"].ravel()
+    cols = [out["usol"][:, int(np.argmin(np.abs(snap_t - tk)))] for tk in taus]
+    u_dense = np.stack(cols, axis=1)  # (fv_nx, nt)
+    x = np.linspace(-1.0, 1.0, nx)
+    usol = np.stack(
+        [np.interp(x, out["x"].ravel(), u_dense[:, k]) for k in range(len(taus))],
+        axis=1,
+    )
+    return {
+        "x": x.reshape(-1, 1),
+        "t": np.linspace(0.0, 1.0, nt).reshape(-1, 1),
+        "usol": usol,
+    }
+
+
+def abgrall_burgers_ic(x: np.ndarray) -> np.ndarray:
+    """The Abgrall_burgers_shock dataset's identified clean IC:
+    u0 = 0.1 + 0.65*|sin(2x)|, periodic on [0, pi] (two kinked bumps).
+
+    Identified against the stored reference grid
+    (``Burgers/Data/Abgrall_burgers_shock.mat``, 257x257 over [0,pi]^2,
+    shipped with no generator): FD least-squares on the grid gives
+    u_t + 0.999 u u_x = 4.8e-3 u_xx in label time (the label axis IS
+    physical here, unlike TwoSin), and the t=0 column is this IC evolved by
+    tau0 = 0.012 (rel-L2 1.1e-3); every later column matches the same
+    viscous evolution at its label time (max 2.7 %, mean 2.0 % at
+    nu = 5e-3). Re-derive with benchmarks/abgrall_ident.py."""
+    return 0.1 + 0.65 * np.abs(np.sin(2.0 * x))
+
+
+def make_abgrall_burgers_grid(
+    nx: int = 257, nt: int = 257, nu: float = 5e-3, fv_nx: int = 1025
+) -> Dict[str, np.ndarray]:
+    """Regenerate Abgrall_burgers_shock.mat natively (257x257 over
+    [0,pi]^2): viscous Godunov evolution of ``abgrall_burgers_ic`` with the
+    identified t0 offset. Validated vs the stored grid: max column rel-L2
+    2.7 %, mean 2.0 %."""
+    t_final = float(np.pi)
+    out = burgers_fv(
+        abgrall_burgers_ic, nx=fv_nx, nt=nt, t_final=t_final, nu=nu,
+        xlim=(0.0, float(np.pi)), periodic=True, t_offset=0.012,
+    )
+    x = np.linspace(0.0, float(np.pi), nx)
+    usol = np.stack(
+        [np.interp(x, out["x"].ravel(), out["usol"][:, k]) for k in range(nt)],
+        axis=1,
+    )
+    return {
+        "x": x.reshape(-1, 1),
+        "t": np.linspace(0.0, t_final, nt).reshape(-1, 1),
+        "usol": usol,
+    }
 
 
 def save_mat(path: str, data: Dict[str, np.ndarray]) -> str:
