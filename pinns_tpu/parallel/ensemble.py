@@ -173,6 +173,19 @@ def run_ensemble(
     """
     exp = trainer.exp
     n = len(seeds)
+    # No silent caps: vmapping over members only pays when the per-member
+    # step underutilizes the chip. Measured (PARITY §4l/§6): 20-wide trunks
+    # get ~2.4× over serial, but a 5×200 trunk already saturates the MXU —
+    # an 8-member wide-net ensemble costs ~8× the solo wall clock.
+    width = max(exp.model.layers[1:-1], default=0)
+    if n > 1 and width >= 100:
+        print(
+            f"run_ensemble: trunk width {width} saturates a chip per member — "
+            f"expect ~{n}x the solo wall clock (vmap adds no speedup for wide "
+            f"nets; see PARITY.md §4l). Shard members over a mesh or run "
+            f"fewer seeds if that is too slow.",
+            flush=True,
+        )
     if stacked is None:
         stacked = init_ensemble_states(trainer, seeds, rhos=rhos)
     if mesh is not None:

@@ -20,6 +20,7 @@ import os
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
@@ -130,7 +131,10 @@ class ServedModel:
         return self.meta["fields"]
 
     def predict(self, x) -> Dict[str, np.ndarray]:
-        x = np.asarray(x, dtype=self.meta["input"]["dtype"])
+        # resolve via jnp: extended dtypes like 'bfloat16' are ml_dtypes
+        # types that plain np.dtype(...) cannot look up by string
+        dtype = jnp.dtype(self.meta["input"]["dtype"])
+        x = np.asarray(jnp.asarray(np.asarray(x), dtype))
         out = self._call(x)
         return {k: np.asarray(v) for k, v in out.items()}
 

@@ -388,6 +388,26 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     m = exp.sampling.microbatch
     rho = cfg.rho if rho is None else rho
     ew = cfg.entropy_weight
+    if (
+        ew > 0.0
+        and exp.pde.kind == "burgers"
+        and abs(exp.pde.lambda2) > 1e-6
+        and exp.pde.lambda2_transform == "identity"
+        and not exp.pde.train_coeffs
+    ):
+        # The Burgers admissibility penalty relu(U_t + G_x)^2 uses the
+        # INVISCID entropy balance; exact viscous solutions have
+        # U_t + G_x = lambda2 u u_xx, legitimately positive in smooth
+        # regions — so on materially viscous configs the penalty fights
+        # correct behavior. It is a shock-selection lever for
+        # inviscid/near-inviscid problems (PARITY §4e).
+        print(
+            f"warning: loss.entropy_weight={ew} with viscous "
+            f"pde.lambda2={exp.pde.lambda2} — the inviscid entropy penalty "
+            f"penalizes correct viscous behavior in smooth regions; intended "
+            f"for inviscid/near-inviscid configs.",
+            flush=True,
+        )
 
     if cfg.causal_eps > 0.0 and (
         cfg.residual_kind not in ("mean_sq", "flux") or m > 1
@@ -798,17 +818,40 @@ def make_chunked(step_fn, chunk: int, unroll: int = 1):
     return jax.jit(run, donate_argnums=0)
 
 
+def _cpu_machine_key() -> str:
+    """Fingerprint of this host's CPU features. XLA:CPU caches AOT machine
+    code; loading artifacts compiled on a different machine type logs
+    'could lead to execution errors such as SIGILL' — so CPU cache dirs are
+    keyed per machine (TPU programs are target-keyed by XLA itself)."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine()
+
+
 def enable_compilation_cache(path: str = "") -> None:
     """Enable JAX's persistent compilation cache (idempotent).
 
     First compiles cost 20-150 s on remote-compile TPU paths; the cache makes
-    every later process with the same program shape start instantly.
+    every later process with the same program shape start instantly. On the
+    CPU backend the cache is additionally keyed by a machine fingerprint
+    (see _cpu_machine_key); the TPU cache path stays stable because its
+    cached programs are load-bearing on the remote-compile relay.
     """
     import os
 
     cache_dir = path or os.path.join(
         os.path.expanduser("~"), ".cache", "pinns_tpu_xla_cache"
     )
+    if not path and getattr(jax.config, "jax_platforms", None) == "cpu":
+        cache_dir = os.path.join(cache_dir, "cpu-" + _cpu_machine_key())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

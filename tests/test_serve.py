@@ -105,3 +105,23 @@ def test_export_ensemble_uq(tmp_path):
     np.testing.assert_allclose(
         got["u_std"], want["u"]["std"], rtol=1e-4, atol=1e-6
     )
+
+
+def test_export_bf16_master_dtype_serves(tmp_path):
+    """A bfloat16-master-dtype export must load and predict: the meta
+    round-trips the dtype as the string 'bfloat16', which plain
+    np.dtype(...) cannot resolve — ServedModel.predict resolves it via
+    jnp.dtype (ml_dtypes)."""
+    tr, state = _trained("abgrall_l2", **{"model.dtype": "bfloat16"})
+    path = export_predict(tr, state.params, str(tmp_path / "m"))
+    served = load_exported(path)
+    assert served.meta["input"]["dtype"] == "bfloat16"
+    x = tr.problem.dataset.X_star[:19].astype(np.float32)
+    got = served.predict(x)
+    assert np.all(np.isfinite(got["u"]))
+    want = tr.predict(state.params, x)
+    np.testing.assert_allclose(
+        np.asarray(got["u"], np.float32),
+        np.asarray(want["u"], np.float32),
+        rtol=2e-2, atol=1e-2,
+    )

@@ -313,6 +313,7 @@ def test_weak_presets_build_and_train():
     for name, layers in (
         ("twosin_weak", (2, 16, 16, 1)),
         ("euler_weak", (2, 20, 20, 3)),
+        ("euler_weak_fast", (2, 20, 20, 3)),
     ):
         exp = override(get_preset(name), {
             "model.layers": layers,
