@@ -274,6 +274,120 @@ def _taylor2_packed(spec: MLPSpec, params: Params, x: jnp.ndarray,
     return cast(u), cast(ux), cast(ut), cast(uxx)
 
 
+# --- mixed-precision (bf16-stream) variant for the compute-bound scale
+# config (8x200 trunk, 1M pts, microbatch 8192). Matches the max-throughput
+# stream policy of ops/taylor.py (all streams quantized, elementwise in the
+# compute dtype) with two exceptions that the policy itself also makes:
+# layer 0 consumes exact f32 coordinates through an f32 HIGHEST dot, and
+# every matmul accumulates f32 (preferred_element_type). The four streams
+# stay stacked, so each layer is ONE (4*tile, W) bf16 MXU matmul with all
+# weights + the activation tile VMEM-resident across the whole network.
+def _taylor2_kernel_mixed(n_layers: int, tile: int, sx: float, st: float,
+                          cdtype, x_ref, *refs):
+    u_ref, ux_ref, ut_ref, uxx_ref = refs[-4:]
+    wb = refs[: 2 * n_layers]
+    t = tile
+
+    h = x_ref[:]  # (tile, in_dim) f32 normalized inputs
+    col = jax.lax.broadcasted_iota(jnp.int32, h.shape, dimension=1)
+    hx = jnp.where(col == 0, sx, 0.0).astype(h.dtype)
+    ht = jnp.where(col == 1, st, 0.0).astype(h.dtype)
+    hxx = jnp.zeros_like(h)
+    s4 = jnp.concatenate([h, hx, ht, hxx], axis=0)  # (4*tile, in_dim) f32
+
+    for l in range(n_layers - 1):
+        w, b = wb[2 * l][:], wb[2 * l + 1][:]
+        if l == 0:  # exact coordinates — f32 HIGHEST, K=2 (cheap)
+            p4 = _dot(s4, w)
+        else:
+            p4 = jax.lax.dot_general(
+                s4, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        p = p4[0:t] + b
+        px = p4[t : 2 * t]
+        pt = p4[2 * t : 3 * t]
+        pxx = p4[3 * t : 4 * t]
+        s = jnp.tanh(p)
+        sp = 1.0 - s * s
+        spp = -2.0 * s * sp
+        s4 = jnp.concatenate(
+            [s, sp * px, sp * pt, spp * px * px + sp * pxx], axis=0
+        ).astype(cdtype)
+
+    w, b = wb[-2][:], wb[-1][:]
+    y4 = jax.lax.dot_general(
+        s4, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    u_ref[:] = y4[0:t] + b
+    ux_ref[:] = y4[t : 2 * t]
+    ut_ref[:] = y4[2 * t : 3 * t]
+    uxx_ref[:] = y4[3 * t : 4 * t]
+
+
+def mlp_taylor2_pallas_mixed(
+    spec: MLPSpec,
+    params: Params,
+    x: jnp.ndarray,
+    tile: int = 0,
+    interpret: bool = False,
+):
+    """Mixed-precision fused Taylor-2 pass for the scale config: streams and
+    hidden weights in ``spec.compute_dtype`` (bf16), f32 accumulation and
+    outputs — the kernel counterpart of the max-throughput policy of
+    ``ops/taylor.py``. Benchmark candidate for BASELINE roadmap item 2 ("the
+    remaining upside sits in Mosaic-level scheduling"); measured verdict in
+    BASELINE.md once captured on the chip."""
+    if spec.fourier or spec.n_paths:
+        raise ValueError(
+            "pallas kernels implement the plain normalize->tanh model; "
+            "Fourier/path-embedded specs use the XLA path (mlp_taylor_2)"
+        )
+    if spec.in_dim != 2:
+        raise ValueError("mlp_taylor2_pallas_mixed expects in_dim == 2 (x, t)")
+    cdtype = spec.cdtype if spec.mixed else jnp.bfloat16
+    tile = tile or auto_tile(spec, streams=4, budget_bytes=4 << 20)
+    n_layers = len(params)
+    sx = 2.0 / (spec.ub[0] - spec.lb[0])
+    st = 2.0 / (spec.ub[1] - spec.lb[1])
+
+    h0 = normalize_inputs(spec, x).astype(jnp.float32)
+    h0, n = _pad_batch(h0, tile)
+    grid = (h0.shape[0] // tile,)
+
+    weight_specs = []
+    flat_wb = []
+    for i, layer in enumerate(params):
+        # layer 0 stays f32 (exact coordinates); hidden + output weights are
+        # pre-quantized once on the host — same quantization point as the
+        # stream policy's per-dot w.astype(cdtype)
+        wd = jnp.float32 if i == 0 else cdtype
+        flat_wb.append(layer["W"].astype(wd))
+        flat_wb.append(layer["b"].astype(jnp.float32))
+        weight_specs.extend([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2)
+
+    out_shape = jax.ShapeDtypeStruct((h0.shape[0], spec.out_dim), jnp.float32)
+    out_spec = pl.BlockSpec((tile, spec.out_dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    u, ux, ut, uxx = pl.pallas_call(
+        functools.partial(
+            _taylor2_kernel_mixed, n_layers, tile, sx, st, cdtype
+        ),
+        out_shape=(out_shape,) * 4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, spec.in_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=(out_spec,) * 4,
+        interpret=interpret,
+    )(h0, *flat_wb)
+    cast = lambda a: a[:n].astype(spec.dtype)
+    return cast(u), cast(ux), cast(ut), cast(uxx)
+
+
 def mlp_taylor2_pallas(
     spec: MLPSpec,
     params: Params,

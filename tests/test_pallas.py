@@ -82,3 +82,28 @@ def test_multi_output_taylor_kernel():
 # (fused_step.py) was removed after a definitive negative result — see
 # "Retired experiment" in BASELINE.md (XLA's fused scan wins even against a
 # one-launch-per-1000-epochs kernel, 83.6 vs 107.0 us/step on v5e).
+
+
+def test_taylor2_mixed_kernel_matches_policy_envelope():
+    """The bf16-stream kernel variant must track the f32 reference at least
+    as tightly as the XLA max-throughput stream policy does — same
+    quantization points (hidden weights + inter-layer streams), f32
+    accumulation."""
+    import dataclasses
+
+    from pinns_tpu.ops.pallas.fused_mlp import mlp_taylor2_pallas_mixed
+
+    spec32 = MLPSpec(layers=(2, 64, 64, 64, 1), lb=(-1.0, 0.0), ub=(1.0, 1.0))
+    specmx = dataclasses.replace(
+        spec32, compute_dtype=jnp.bfloat16, mixed_elementwise=True
+    )
+    params = init_mlp(jax.random.key(5), spec32)
+    x = _x(300)
+    ref = mlp_taylor_2(spec32, params, x)
+    xla_mixed = mlp_taylor_2(specmx, params, x)
+    ker = mlp_taylor2_pallas_mixed(specmx, params, x, tile=256, interpret=True)
+    for r, m, k in zip(ref, xla_mixed, ker):
+        r, m, k = (np.asarray(v, np.float64) for v in (r, m, k))
+        e_xla = np.linalg.norm(m - r) / (np.linalg.norm(r) + 1e-30)
+        e_ker = np.linalg.norm(k - r) / (np.linalg.norm(r) + 1e-30)
+        assert e_ker < max(2.0 * e_xla, 1e-6), (e_ker, e_xla)
