@@ -154,6 +154,41 @@ def ensemble_predict(trainer, stacked: TrainState, x) -> dict:
     return out
 
 
+def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0)) -> dict:
+    """Coverage calibration of the deep-ensemble uncertainty on the dense
+    evaluation grid: per field, the fraction of grid points whose true error
+    |mean - exact| falls within k*std for each k, plus the same 2-sigma
+    coverage restricted to the steepest-gradient decile of the exact field
+    (the shock/contact region, where UQ claims matter most). A perfectly
+    calibrated Gaussian ensemble would give ~0.68/0.95/0.997; deep ensembles
+    are typically overconfident at sharp features — this measures by how
+    much. Returns {field: {'cov1s':..,'cov2s':..,'cov3s':..,
+    'cov2s_shock':.., 'mean_std':.., 'rmse':..}}."""
+    ds = trainer.problem.dataset
+    preds = ensemble_predict(trainer, stacked, ds.X_star)
+    out = {}
+    for name, p in preds.items():
+        if name not in ds.star:  # residual outputs have no exact field
+            continue
+        exact = np.asarray(ds.star[name], np.float64)
+        mean = np.asarray(p["mean"], np.float64)
+        std = np.asarray(p["std"], np.float64)
+        err = np.abs(mean - exact)
+        row = {
+            f"cov{k:g}s": float(np.mean(err <= k * std + 1e-12)) for k in ks
+        }
+        # shock split: steepest-|d/dx| decile of the exact (Nt, Nx) grid
+        gx = np.abs(np.gradient(np.asarray(ds.fields[name], np.float64), axis=1))
+        mask = (gx >= np.quantile(gx, 0.9)).reshape(-1, 1).ravel()
+        row["cov2s_shock"] = float(
+            np.mean(err.ravel()[mask] <= 2.0 * std.ravel()[mask] + 1e-12)
+        )
+        row["mean_std"] = float(np.mean(std))
+        row["rmse"] = float(np.sqrt(np.mean(err**2)))
+        out[name] = row
+    return out
+
+
 def run_ensemble(
     trainer,
     seeds: Sequence[int],

@@ -847,6 +847,8 @@ def enable_compilation_cache(path: str = "") -> None:
     """
     import os
 
+    if not path and getattr(jax.config, "jax_compilation_cache_dir", None):
+        return  # respect an explicit prior setting (e.g. the dryrun's)
     cache_dir = path or os.path.join(
         os.path.expanduser("~"), ".cache", "pinns_tpu_xla_cache"
     )

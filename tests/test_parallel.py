@@ -255,3 +255,25 @@ def test_run_ensemble_produces_solo_artifact_set(tmp_path):
     ]
     assert any("loss" in r for r in records)
     assert any("summary" in r for r in records)
+
+
+def test_uq_calibration_coverage_fields():
+    """uq_calibration returns per-field coverage fractions in [0,1] with the
+    shock-decile split; a trained toy ensemble should cover a nonzero
+    fraction at 2 sigma."""
+    from pinns_tpu.parallel.ensemble import run_ensemble, uq_calibration
+
+    tr = Trainer(_exp(**{
+        "model.layers": (2, 12, 12, 1),
+        "sampling.n_f": 128,
+        "train.epochs": 200,
+        "train.chunk": 100,
+    }))
+    stacked, _ = run_ensemble(tr, seeds=[0, 1, 2, 3])
+    cal = uq_calibration(tr, stacked)
+    row = cal["u"]
+    for k in ("cov1s", "cov2s", "cov3s", "cov2s_shock"):
+        assert 0.0 <= row[k] <= 1.0, (k, row[k])
+    assert row["cov1s"] <= row["cov2s"] <= row["cov3s"]
+    assert row["cov2s"] > 0.0
+    assert row["mean_std"] > 0.0 and row["rmse"] > 0.0
