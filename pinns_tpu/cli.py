@@ -175,6 +175,30 @@ def cmd_export(args):
     return 0
 
 
+def cmd_serve(args):
+    if args.backend:
+        # must happen before first device use; the JAX_PLATFORMS env var
+        # does not override a sitecustomize-pinned platform, this does
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", args.backend)
+        except RuntimeError:
+            pass
+
+    from pinns_tpu.serve import make_http_server
+
+    server = make_http_server(args.artifact, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(f"serving {args.artifact} at http://{host}:{port} "
+          f"(GET /meta, POST /predict)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
 def cmd_plot(args):
     from pinns_tpu.train import Trainer
     from pinns_tpu.viz.plots import plot_from_snapshots, plot_solution
@@ -378,6 +402,20 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", default="exported_model", help="artifact directory")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "serve",
+        help="HTTP JSON prediction server over an exported artifact "
+        "(GET /meta, POST /predict with {\"x\": [[x, t], ...]})",
+    )
+    p.add_argument("--artifact", required=True, help="exported artifact dir")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument(
+        "--backend", default="",
+        help="jax platform for serving (e.g. 'cpu'); empty = default backend",
+    )
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("plot", help="solution/comparison figure")
     add_common(p)

@@ -6,4 +6,5 @@ from pinns_tpu.parallel.ensemble import (
     evaluate_ensemble,
     ensemble_predict,
     run_ensemble,
+    uq_calibration,
 )

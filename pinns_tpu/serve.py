@@ -141,3 +141,59 @@ class ServedModel:
 
 def load_exported(path: str) -> ServedModel:
     return ServedModel(path)
+
+
+def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
+    """Minimal stdlib JSON prediction server over an exported artifact.
+
+    Endpoints:
+      GET  /meta     -> the artifact's meta.json
+      POST /predict  -> body {"x": [[x, t], ...]} returns
+                        {field: [[...], ...]} for every exported field
+                        (for ensemble artifacts that includes `{name}_std`).
+
+    Returns the (unstarted) ThreadingHTTPServer; callers run
+    ``server.serve_forever()`` (the CLI does) or drive it from a thread in
+    tests. Batch dim is symbolic in the artifact, so any request size works;
+    the first request at a new size pays one XLA compile."""
+    import http.server
+
+    served = ServedModel(path)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/meta":
+                self._send(200, served.meta)
+            else:
+                self._send(404, {"error": "unknown path; use /meta or POST /predict"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path; use POST /predict"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                x = np.asarray(req["x"], np.float32)
+                if x.ndim != 2 or x.shape[1] != 2:
+                    raise ValueError(f"x must be (N, 2), got {x.shape}")
+                out = served.predict(x)
+                self._send(
+                    200,
+                    {k: np.asarray(v, np.float32).tolist() for k, v in out.items()},
+                )
+            except Exception as e:  # malformed request -> diagnostic, not a crash
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+    return http.server.ThreadingHTTPServer((host, port), Handler)

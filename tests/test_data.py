@@ -129,9 +129,10 @@ def test_missing_dataset_falls_back_to_generator(tmp_path):
         )
         assert err < 1e-3
 
-    # datasets with no generator raise a helpful error
+    # every NAMED dataset now has a generator (round 3: twosin + abgrall
+    # identified, PARITY §2); only unknown names/paths raise
     with pytest.raises(FileNotFoundError, match="generate-data"):
-        load_burgers_mat("twosin_burgers_shock", root=str(tmp_path))
+        load_burgers_mat("no_such_dataset.mat", root=str(tmp_path))
 
 
 def test_missing_euler_dataset_regenerates(tmp_path):

@@ -125,3 +125,49 @@ def test_export_bf16_master_dtype_serves(tmp_path):
         np.asarray(want["u"], np.float32),
         rtol=2e-2, atol=1e-2,
     )
+
+
+def test_http_server_meta_and_predict(tmp_path):
+    """The stdlib HTTP endpoint serves /meta and batch /predict with values
+    matching ServedModel.predict, and 400s on malformed bodies."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from pinns_tpu.serve import make_http_server
+
+    tr, state = _trained("abgrall_l2")
+    path = export_predict(tr, state.params, str(tmp_path / "m"))
+    server = make_http_server(path, port=0)  # ephemeral port
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://{host}:{port}/meta", timeout=30) as r:
+            meta = _json.loads(r.read())
+        assert meta["pde"] == "burgers"
+
+        x = np.asarray(tr.problem.dataset.X_star[:13], np.float32)
+        body = _json.dumps({"x": x.tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.loads(r.read())
+        want = load_exported(path).predict(x)
+        np.testing.assert_allclose(
+            np.asarray(out["u"], np.float32), want["u"], rtol=1e-5, atol=1e-6
+        )
+
+        bad = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=b'{"x": [1, 2]}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("malformed body must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
