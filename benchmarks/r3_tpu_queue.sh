@@ -34,5 +34,8 @@ timeout 5400 python benchmarks/precision_1m_study.py 1234
 # 6) L-BFGS lock-in tails on the matched recipes (round-2 leftover)
 timeout 7200 python benchmarks/lockin_study.py 2>&1 | tee -a benchmarks/results/r3_lockin.jsonl
 
-# 7) literal 10^6 envelope cell (VERDICT #6) — longest, last
+# 7) persistent causal selector (round-3 lever: over-training robustness)
+timeout 10800 python benchmarks/causal_persist_study.py
+
+# 8) literal 10^6 envelope cell (VERDICT #6) — longest, last
 timeout 14400 python benchmarks/envelope_literal.py

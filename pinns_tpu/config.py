@@ -171,6 +171,11 @@ class LossConfig:
     # the weak form — preset twosin_weak, PARITY §4j).
     causal_eps: float = 0.0
     causal_bins: int = 32
+    # Scale-free causal weights: w_b = exp(-eps * prefix_b / mean(L_b)),
+    # so selection pressure PERSISTS as residuals vanish instead of fading
+    # to 1 (the measured over-training drift of the absolute form, PARITY
+    # §4j). eps then plays at O(0.1), not the absolute form's eps=30.
+    causal_relative: bool = False
     # entropy_weight > 0 adds a pointwise entropy-admissibility penalty that
     # selects the entropy solution among weak solutions the residual alone
     # cannot distinguish. Burgers: mean(relu(U_t + F_x)^2) for the entropy

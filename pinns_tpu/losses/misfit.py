@@ -54,7 +54,9 @@ def residual_penalty(f: jnp.ndarray, kind: str, n: int):
     raise ValueError(f"unknown residual penalty kind: {kind!r}")
 
 
-def causal_residual_penalty(residuals, t, t_lb, t_ub, eps: float, bins: int):
+def causal_residual_penalty(
+    residuals, t, t_lb, t_ub, eps: float, bins: int, relative: bool = False
+):
     """Causal-in-time mean-square residual (beyond-reference; Wang, Sankaran
     & Perdikaris 2022, "Respecting causality"): the residual at later times
     only counts once earlier times are fit.
@@ -77,6 +79,15 @@ def causal_residual_penalty(residuals, t, t_lb, t_ub, eps: float, bins: int):
       t_lb / t_ub: time-domain bounds (bins span [t_lb, t_ub]).
       eps: causality strength (0 disables the weighting but keeps binning).
       bins: number of time bins (static).
+      relative: normalize the prefix by the batch-mean bin loss
+        (stop-gradient) before exponentiating — w_b =
+        exp(-eps * prefix_b / mean(L)). The weights become scale-free: when
+        residuals shrink uniformly the selection pressure PERSISTS instead
+        of fading to w=1, which is the measured over-training drift of the
+        absolute form (PARITY §4j: 0.0745 @ 200k -> 0.118 @ 500k as
+        residuals vanish). With uniform bin losses prefix/mean ≈ the bin
+        index, so eps plays at O(1/bins) scale (e.g. 0.1-0.3 at 32 bins),
+        NOT at the absolute form's tuned eps=30.
 
     Returns (term, weights) — the scalar loss term and the (bins,) weight
     vector (diagnostic; min(w) -> 1 signals the solve is converged in
@@ -92,5 +103,7 @@ def causal_residual_penalty(residuals, t, t_lb, t_ub, eps: float, bins: int):
     counts = jax.ops.segment_sum(jnp.ones_like(sq), idx, num_segments=bins)
     l_b = sums / jnp.maximum(counts, 1.0)
     prefix = jnp.cumsum(l_b) - l_b  # exclusive: earlier bins only
+    if relative:
+        prefix = prefix / (jnp.mean(l_b) + 1e-30)
     w = jax.lax.stop_gradient(jnp.exp(-eps * prefix))
     return jnp.mean(w * l_b), w

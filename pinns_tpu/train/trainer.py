@@ -449,6 +449,7 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
                 problem.ub[1],
                 cfg.causal_eps,
                 cfg.causal_bins,
+                relative=cfg.causal_relative,
             )
         else:
             # the weak-form cell residual takes the plain mean-square

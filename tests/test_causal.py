@@ -84,3 +84,36 @@ def test_causal_training_smoke():
     })
     _, summary = Trainer(exp).train()
     assert np.isfinite(summary["rel_l2_u"])
+
+
+def test_relative_weights_scale_invariant():
+    """relative=True makes the causal weights invariant under a uniform
+    residual rescale — the persistence property: selection pressure does
+    not fade as the solve converges."""
+    import jax.numpy as jnp
+
+    f = jnp.linspace(0.1, 1.0, 64).reshape(-1, 1)
+    t = jnp.linspace(0.0, 1.0, 64)
+    _, w1 = causal_residual_penalty(f, t, 0.0, 1.0, eps=0.2, bins=8,
+                                    relative=True)
+    _, w2 = causal_residual_penalty(1e-3 * f, t, 0.0, 1.0, eps=0.2, bins=8,
+                                    relative=True)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-5)
+    # absolute weights DO fade to 1 under the same rescale
+    _, a1 = causal_residual_penalty(f, t, 0.0, 1.0, eps=5.0, bins=8)
+    _, a2 = causal_residual_penalty(1e-3 * f, t, 0.0, 1.0, eps=5.0, bins=8)
+    assert float(a2.min()) > float(a1.min())
+    assert float(a2.min()) > 0.99  # faded
+
+
+def test_causal_relative_training_smoke():
+    exp = override(get_preset("twosin_weak"), {
+        "model.layers": (2, 16, 16, 1),
+        "loss.causal_eps": 0.2,
+        "loss.causal_relative": True,
+        "train.epochs": 200,
+        "train.chunk": 100,
+        "sampling.n_f": 256,
+    })
+    _, summary = Trainer(exp).train()
+    assert np.isfinite(summary["rel_l2_u"])
