@@ -92,6 +92,51 @@ def main():
         x, "Pallas f32 kernel (tile 512)",
     )
 
+    # --- full mock train step (value_and_grad over a Burgers residual
+    # loss): does a kernel forward + XLA-recompute backward beat all-XLA?
+    from pinns_tpu.ops.pallas.fused_mlp import make_taylor2_mixed_op
+
+    kop = make_taylor2_mixed_op(specmx, tile=1024)
+
+    def make_step(taylor_fn):
+        def loss(params, x):
+            u, ux, ut, uxx = taylor_fn(params, x)
+            f = ut + u * ux - 0.0031831 * uxx
+            return jnp.mean(f * f)
+
+        grad = jax.grad(loss)
+
+        @jax.jit
+        def chained(params, x):
+            def body(carry, _):
+                p, x = carry
+                g = grad(p, x)
+                p = jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, p, g)
+                return (p, x), None
+
+            (p, x), _ = jax.lax.scan(body, (params, x), None, length=16)
+            return p, x
+
+        return chained
+
+    for label, fn in (
+        ("step_xla_mixed", lambda p, x: mlp_taylor_2(specmx, p, x)),
+        ("step_pallas_fwd", kop),
+    ):
+        chained = make_step(fn)
+        p, xx = chained(params, x)
+        jax.block_until_ready(p)
+        best = float("inf")
+        import time as _t
+
+        for _ in range(3):
+            t0 = _t.time()
+            p, xx = chained(p, xx)
+            jax.block_until_ready(p)
+            best = min(best, (_t.time() - t0) / 16)
+        results[label] = best
+        print(f"{label}: {best * 1e6:.1f} us/step  {MB / best / 1e6:.2f}M pts/s")
+
     # FLOPs of one 4-stream Taylor-2 forward at this shape (dominant terms):
     flops = 4 * sum(
         2 * MB * a * b
@@ -104,6 +149,9 @@ def main():
         "tflops_mixed_pallas": round(flops / results["pallas_mixed"] / 1e12, 1),
         "kernel_speedup_vs_xla_mixed": round(
             results["xla_mixed"] / results["pallas_mixed"], 3
+        ),
+        "step_speedup_vs_xla_mixed": round(
+            results["step_xla_mixed"] / results["step_pallas_fwd"], 3
         ),
     }
     print(json.dumps(out))

@@ -388,6 +388,35 @@ def mlp_taylor2_pallas_mixed(
     return cast(u), cast(ux), cast(ut), cast(uxx)
 
 
+def make_taylor2_mixed_op(spec: MLPSpec, tile: int = 0, interpret: bool = False):
+    """Differentiable wrapper for the mixed kernel: Pallas forward, backward
+    by re-computing the jnp mixed Taylor pass and taking its VJP (the same
+    recompute a remat policy performs, so memory behavior matches the scale
+    config's microbatch remat). The backward is EXACTLY the XLA path's —
+    only the primal values come from the kernel — so training trajectories
+    differ from all-XLA runs only through the forward's (tested, policy-
+    equivalent) quantization points. Used by taylor2_kernel_bench to decide
+    whether the kernel earns a place in the production step."""
+    from pinns_tpu.ops.taylor import mlp_taylor_2
+
+    @jax.custom_vjp
+    def op(params, x):
+        return mlp_taylor2_pallas_mixed(
+            spec, params, x, tile=tile, interpret=interpret
+        )
+
+    def fwd(params, x):
+        return op(params, x), (params, x)
+
+    def bwd(res, g):
+        params, x = res
+        _, vjp = jax.vjp(lambda p, xx: mlp_taylor_2(spec, p, xx), params, x)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def mlp_taylor2_pallas(
     spec: MLPSpec,
     params: Params,

@@ -107,3 +107,34 @@ def test_taylor2_mixed_kernel_matches_policy_envelope():
         e_xla = np.linalg.norm(m - r) / (np.linalg.norm(r) + 1e-30)
         e_ker = np.linalg.norm(k - r) / (np.linalg.norm(r) + 1e-30)
         assert e_ker < max(2.0 * e_xla, 1e-6), (e_ker, e_xla)
+
+
+def test_taylor2_mixed_op_gradients_track_xla():
+    """make_taylor2_mixed_op: backward is literally the XLA path's VJP
+    (recompute), so grads of a residual loss differ from the all-XLA mixed
+    path only through the kernel forward's quantization at the loss point."""
+    import dataclasses
+
+    from pinns_tpu.ops.pallas.fused_mlp import make_taylor2_mixed_op
+
+    spec32 = MLPSpec(layers=(2, 64, 64, 1), lb=(-1.0, 0.0), ub=(1.0, 1.0))
+    specmx = dataclasses.replace(
+        spec32, compute_dtype=jnp.bfloat16, mixed_elementwise=True
+    )
+    params = init_mlp(jax.random.key(6), spec32)
+    x = _x(256)
+    kop = make_taylor2_mixed_op(specmx, tile=256, interpret=True)
+
+    def loss(taylor_fn):
+        def f(p):
+            u, ux, ut, uxx = taylor_fn(p, x)
+            r = ut + u * ux - 1e-2 * uxx
+            return jnp.mean(r * r)
+
+        return f
+
+    gk = jax.grad(loss(kop))(params)
+    gx = jax.grad(loss(lambda p, xx: mlp_taylor_2(specmx, p, xx)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gx)):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+        assert rel < 0.2, rel
