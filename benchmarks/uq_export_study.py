@@ -140,6 +140,7 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if "--toy" in args:  # CPU flush-test of the whole path at toy scale
         args.remove("--toy")
+        OUT = OUT.replace(".jsonl", "_toy.jsonl")
         import jax
 
         jax.config.update("jax_platforms", "cpu")
