@@ -105,6 +105,19 @@ class SamplingConfig:
     # (lax.scan + jax.checkpoint) so activation memory stays at
     # n_f/microbatch scale — how million-point batches fit in HBM.
     microbatch: int = 1
+    # Remat policy for the microbatch loop's backward pass:
+    #   'full'  rematerialize the whole body (default; peak activation
+    #           memory = one microbatch, backward recomputes the forward)
+    #   'dots'  save matmul outputs, recompute only elementwise ops
+    #           (jax.checkpoint_policies.dots_saveable — trades HBM for
+    #           skipping the MXU recompute)
+    #   'none'  store all activations (fastest when the full batch's
+    #           activations fit HBM; measured frontier in BASELINE.md)
+    microbatch_remat: str = "full"
+    # lax.scan unroll factor for the microbatch loop: >1 lets XLA
+    # software-pipeline consecutive microbatches (more VMEM, fewer
+    # loop-carried barriers).
+    microbatch_unroll: int = 1
 
 
 @_frozen

@@ -468,6 +468,25 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     chunks = colloc.reshape(m, n // m, colloc.shape[1])
     dtype = problem.spec.dtype
 
+    mb_remat = exp.sampling.microbatch_remat
+    mb_unroll = exp.sampling.microbatch_unroll
+
+    def _wrap(body):
+        # identical math under every policy — only what the backward pass
+        # recomputes vs reloads changes (measured frontier: BASELINE.md)
+        if mb_remat == "none":
+            return body
+        if mb_remat == "dots":
+            return jax.checkpoint(
+                body, policy=jax.checkpoint_policies.dots_saveable
+            )
+        if mb_remat != "full":
+            raise ValueError(
+                f"unknown sampling.microbatch_remat: {mb_remat!r} "
+                "(expected 'full' | 'dots' | 'none')"
+            )
+        return jax.checkpoint(body)
+
     if cfg.residual_kind == "admm":
         # the augmented-Lagrangian penalty is additive over points
         st_chunks = jax.tree_util.tree_map(
@@ -483,7 +502,8 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
             return acc + pen, None
 
         term, _ = jax.lax.scan(
-            jax.checkpoint(body), jnp.zeros((), dtype), (chunks, st_chunks)
+            _wrap(body), jnp.zeros((), dtype), (chunks, st_chunks),
+            unroll=mb_unroll,
         )
         return term
 
@@ -505,7 +525,9 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
             ent_acc = ent_acc + jnp.sum(ent)
         return (new, ent_acc), None
 
-    (accs, ent_sum), _ = jax.lax.scan(jax.checkpoint(body), init, chunks)
+    (accs, ent_sum), _ = jax.lax.scan(
+        _wrap(body), init, chunks, unroll=mb_unroll
+    )
     term = ew * ent_sum / n_f if ew > 0.0 else jnp.zeros((), dtype)
     for ssq, sabs in accs:
         if cfg.residual_kind == "mean_sq":

@@ -69,6 +69,46 @@ def test_microbatched_training_trajectory_matches():
     )
 
 
+@pytest.mark.parametrize("remat", ["none", "dots"])
+@pytest.mark.parametrize("preset", ["abgrall_admm", "burgers_forward"])
+def test_remat_policy_identical_math(preset, remat):
+    """microbatch_remat changes only what the backward pass recomputes vs
+    reloads — loss AND grads must match the default 'full' policy exactly
+    (same float ops, same order)."""
+    extra = {}
+    if preset == "burgers_forward":
+        extra = {"optimizer.kind": "adam", "sampling.strategy": "fixed_lhs"}
+    _, micro_exp = _pair(preset, **extra)
+    var_exp = override(
+        micro_exp,
+        {"sampling.microbatch_remat": remat, "sampling.microbatch_unroll": 2},
+    )
+    tr_full = Trainer(micro_exp)
+    tr_var = Trainer(var_exp)
+    state = tr_full.init_state()
+
+    loss_full = make_loss_fn(tr_full.problem)
+    loss_var = make_loss_fn(tr_var.problem)
+    l1, _ = loss_full(state.params, state.colloc, state.admm)
+    l2, _ = loss_var(state.params, state.colloc, state.admm)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+    g1 = jax.grad(lambda p: loss_full(p, state.colloc, state.admm)[0])(state.params)
+    g2 = jax.grad(lambda p: loss_var(p, state.colloc, state.admm)[0])(state.params)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-5, atol=1e-7)
+
+
+def test_remat_policy_unknown_rejected():
+    _, micro_exp = _pair("abgrall_admm")
+    bad = override(micro_exp, {"sampling.microbatch_remat": "sometimes"})
+    tr = Trainer(bad)
+    state = tr.init_state()
+    with pytest.raises(ValueError, match="microbatch_remat"):
+        make_loss_fn(tr.problem)(state.params, state.colloc, state.admm)
+
+
 def test_euler_microbatched_loss_matches():
     mono = override(
         get_preset("euler_admm"),
