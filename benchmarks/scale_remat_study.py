@@ -42,6 +42,39 @@ CELLS = [
     ("bal_dots_mb128", BAL, "dots", 128, 1),
 ]
 
+# The canonical flagship config also runs its (single-microbatch) residual
+# body under jax.checkpoint — the 56 µs step recomputes its forward during
+# the backward pass. 'none' removes that recompute; measure whether the
+# latency-bound step cares.
+CANON_CELLS = [
+    ("canon_full", "full"),    # baseline (cached program)
+    ("canon_none", "none"),
+    ("canon_dots", "dots"),
+]
+
+
+def run_canon(tag, remat):
+    exp = override(
+        get_preset("abgrall_admm"),
+        {"sampling.microbatch_remat": remat},
+    )
+    row = {"tag": tag, "remat": remat, "config": "canonical_admm"}
+    t0 = time.time()
+    try:
+        pts, steps = _bench_chunk(
+            Trainer(exp), chunk_len=1000, n_chunks=20, n_f=exp.sampling.n_f
+        )
+        row.update(
+            pts_per_sec=round(pts, 1),
+            us_per_step=round(1e6 / steps, 2),
+        )
+    except Exception as e:
+        row["error"] = f"{type(e).__name__}: {e}"[:300]
+    row["wall_s"] = round(time.time() - t0, 1)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
 
 def run(tag, policy, remat, mb, unroll):
     exp = override(
@@ -76,3 +109,7 @@ if __name__ == "__main__":
         if only and tag not in only:
             continue
         run(tag, policy, remat, mb, unroll)
+    for tag, remat in CANON_CELLS:
+        if only and tag not in only:
+            continue
+        run_canon(tag, remat)
