@@ -285,6 +285,13 @@ class TrainConfig:
     # averaging its iterates cancels that noise at zero step cost (the
     # accumulation happens between device calls — no new step HLO, so the
     # persistent compile cache stays valid).
+    # MEASURED GUIDANCE (PARITY §4m): leave this OFF on the shipped shock
+    # recipes. Causal-weighted recipes (twosin_weak): negative on all 6
+    # datapoints (3 seeds x 2 backends) — the tail is still *selecting*.
+    # Long constant-LR envelopes (euler_weak 1M): strongly negative
+    # (u 0.137 vs 0.054) — averaging weights whose shock-path/front
+    # parameters drift smears the front. Non-causal cosine-decay tails
+    # (euler_weak_fast): neutral (within noise). No measured config wins.
     swa_frac: float = 0.0
 
 
