@@ -90,18 +90,6 @@ def test_fourier_multi_output_euler_trunk():
     np.testing.assert_allclose(np.asarray(yt), np.asarray(yt0), rtol=2e-4, atol=2e-5)
 
 
-def test_pallas_rejects_fourier_specs():
-    from pinns_tpu.ops.pallas.fused_mlp import mlp_forward_pallas, mlp_taylor2_pallas
-
-    spec = _spec(4)
-    params = init_mlp(jax.random.key(0), spec)
-    x = jnp.zeros((8, 2))
-    with pytest.raises(ValueError, match="[Ff]ourier"):
-        mlp_forward_pallas(spec, params, x, interpret=True)
-    with pytest.raises(ValueError, match="[Ff]ourier"):
-        mlp_taylor2_pallas(spec, params, x, interpret=True)
-
-
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
 def test_fourier_training_and_checkpoint_roundtrip(tmp_path):
     exp = override(get_preset("abgrall_admm"), {

@@ -135,18 +135,6 @@ def test_paths_degree_zero_and_multi_output_trunk():
     np.testing.assert_allclose(np.asarray(yt), np.asarray(yt0), rtol=2e-4, atol=2e-5)
 
 
-def test_pallas_rejects_path_specs():
-    from pinns_tpu.ops.pallas.fused_mlp import mlp_forward_pallas, mlp_taylor2_pallas
-
-    spec = _spec(2)
-    params = init_mlp(jax.random.key(0), spec)
-    x = jnp.zeros((8, 2))
-    with pytest.raises(ValueError, match="path"):
-        mlp_forward_pallas(spec, params, x, interpret=True)
-    with pytest.raises(ValueError, match="path"):
-        mlp_taylor2_pallas(spec, params, x, interpret=True)
-
-
 def test_paths_compose_with_mixed_precision():
     spec_f32 = _spec(3)
     spec_mixed = dataclasses.replace(spec_f32, compute_dtype="bfloat16")
