@@ -27,6 +27,12 @@ from jax import export as jax_export
 _META_NAME = "meta.json"
 _BLOB_NAME = "model.shlo"
 
+# Lower for every mainstream backend at export time: jax.export otherwise
+# bakes in ONLY the exporting process's platform, and a TPU-trained artifact
+# then refuses to load on CPU (caught live by benchmarks/uq_export_study.py:
+# "exported for platforms '('tpu',)' but used on '('cpu',)'").
+_EXPORT_PLATFORMS = ("cpu", "tpu", "cuda")
+
 
 def export_predict(trainer, params=None, path: str = "exported_model") -> str:
     """Export the trainer's full prediction function (fields + residuals) as
@@ -49,7 +55,7 @@ def export_predict(trainer, params=None, path: str = "exported_model") -> str:
 
     (b,) = jax_export.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct((b, 2), problem.spec.dtype)
-    exported = jax_export.export(jax.jit(fn))(x_spec)
+    exported = jax_export.export(jax.jit(fn), platforms=_EXPORT_PLATFORMS)(x_spec)
     blob = exported.serialize()
 
     os.makedirs(path, exist_ok=True)
@@ -93,7 +99,7 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble") ->
 
     (b,) = jax_export.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct((b, 2), problem.spec.dtype)
-    exported = jax_export.export(jax.jit(fn))(x_spec)
+    exported = jax_export.export(jax.jit(fn), platforms=_EXPORT_PLATFORMS)(x_spec)
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _BLOB_NAME), "wb") as f:

@@ -39,6 +39,17 @@ def test_export_roundtrip_matches_trainer(tmp_path):
         np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6)
 
 
+def test_export_is_cross_platform(tmp_path):
+    """The artifact must lower for cpu+tpu+cuda at export time — jax.export
+    otherwise bakes in only the exporting platform, and a TPU-trained
+    artifact refuses to serve on CPU (caught live on the chip by
+    benchmarks/uq_export_study.py round-trip)."""
+    tr, state = _trained("abgrall_l2")
+    path = export_predict(tr, state.params, str(tmp_path / "m"))
+    served = load_exported(path)
+    assert set(served._exported.platforms) == {"cpu", "tpu", "cuda"}
+
+
 def test_export_euler_multifield(tmp_path):
     tr, state = _trained("euler_admm", **{"model.layers": (2, 16, 16, 3)})
     path = export_predict(tr, state.params, str(tmp_path / "m"))
