@@ -185,6 +185,12 @@ def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0)) -> dict:
         )
         row["mean_std"] = float(np.mean(std))
         row["rmse"] = float(np.sqrt(np.mean(err**2)))
+        # the std-inflation factor that WOULD give 95% coverage: report it
+        # so a user who can calibrate on one known problem has the number
+        # to carry to the unknown one (deep ensembles are overconfident
+        # here — members share data and make the same systematic PDE-fit
+        # error at fronts, so spread underestimates error; PARITY §4m)
+        row["k95"] = float(np.quantile(err / (std + 1e-12), 0.95))
         out[name] = row
     return out
 

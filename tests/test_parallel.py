@@ -277,3 +277,5 @@ def test_uq_calibration_coverage_fields():
     assert row["cov1s"] <= row["cov2s"] <= row["cov3s"]
     assert row["cov2s"] > 0.0
     assert row["mean_std"] > 0.0 and row["rmse"] > 0.0
+    # k95: inflating std by k95 gives >= 95% coverage by construction
+    assert row["k95"] > 0.0
