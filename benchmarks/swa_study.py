@@ -49,11 +49,53 @@ RUNS = [
 # r2_*_ensemble8 band runs so SWA's effect on the band is directly readable
 ENSEMBLE_RUNS = [
     ("ts_ens8_swa25", "twosin_weak", {"train.swa_frac": 0.25}),
+    # The Euler cell doubles as the precision='highest' redo of the round-3
+    # uq_export_study euler case (whose ensemble was degraded by the
+    # euler_weak_fast precision='default' bug, PARITY §4o): after training
+    # it also emits UQ calibration + the FIXED TPU→CPU export round-trip
+    # (tags fixed_euler_*) so one chip run closes all three items.
     ("eu_ens8_swa25", "euler_weak",
      {"optimizer.lr_schedule": "cosine", "train.swa_frac": 0.25,
       "train.epochs": 200_000, "optimizer.schedule_epochs": 200_000,
       "train.chunk": 250}),
 ]
+
+
+def uq_export_after(tr, stacked, n, tag):
+    """UQ calibration + cross-backend export round-trip on a trained stack."""
+    import os
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from uq_export_study import ART, cpu_roundtrip, emit
+
+    from pinns_tpu.parallel.ensemble import (
+        ensemble_predict,
+        unstack_states,
+        uq_calibration,
+    )
+    from pinns_tpu.serve import export_ensemble, export_predict
+
+    cal = uq_calibration(tr, stacked)
+    emit({"tag": f"{tag}_calibration", **{
+        f: {k: round(v, 4) for k, v in row.items()} for f, row in cal.items()
+    }})
+    os.makedirs(ART, exist_ok=True)
+    probe_x = np.asarray(tr.problem.dataset.X_star[:257], np.float32)
+    solo_state = unstack_states(stacked, n)[0]
+    solo_path = export_predict(tr, solo_state.params,
+                               os.path.join(ART, f"{tag}_solo"))
+    cpu_roundtrip(solo_path, probe_x, tr.predict(solo_state.params, probe_x),
+                  f"{tag}_solo")
+    ens_path = export_ensemble(tr, stacked.params,
+                               os.path.join(ART, f"{tag}_ens"))
+    ens_tpu = ensemble_predict(tr, stacked, probe_x)
+    flat = {}
+    for fname, p in ens_tpu.items():
+        flat[fname] = p["mean"]
+        flat[f"{fname}_std"] = p["std"]
+    cpu_roundtrip(ens_path, probe_x, flat, f"{tag}_ens")
 
 
 def run(tag, preset, overrides):
@@ -82,7 +124,7 @@ def run_ens(tag, preset, overrides, n=8):
     tr = Trainer(exp)
     seeds = [exp.train.seed + i for i in range(n)]
     t0 = time.time()
-    _, summaries = run_ensemble(tr, seeds)
+    stacked, summaries = run_ensemble(tr, seeds)
     wall = round(time.time() - t0, 1)
     for i, s in enumerate(summaries):
         rec = {
@@ -91,6 +133,8 @@ def run_ens(tag, preset, overrides, n=8):
                if "rel_l2" in k},
         }
         print(json.dumps(rec), flush=True)
+    if tag.startswith("eu_ens8"):
+        uq_export_after(tr, stacked, n, "fixed_euler")
 
 
 def main():

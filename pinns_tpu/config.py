@@ -22,7 +22,11 @@ def _frozen(cls):
 @_frozen
 class ModelConfig:
     layers: Tuple[int, ...] = (2, 20, 20, 20, 20, 20, 20, 20, 20, 1)
-    precision: str = "highest"  # matmul precision: 'default'|'high'|'highest'
+    # Matmul precision: 'default'|'high'|'highest'. Keep 'highest' for
+    # production recipes: 'default' (bf16 MXU passes) measured a ~3× rel-L2
+    # regression on the final Euler mixed-formulation recipe (PARITY §4o)
+    # even though it was near-parity on the older 0.2-plateau recipe (§4k).
+    precision: str = "highest"
     dtype: str = "float32"
     # Mixed-precision residual path: derivative streams are stored and
     # matmul'd in this dtype (e.g. 'bfloat16') with full-precision

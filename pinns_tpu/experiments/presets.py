@@ -293,20 +293,23 @@ PRESETS = {
     ),
     "euler_weak_fast": _exp(
         # The measured fast-budget Euler recipe, shipped as a name instead
-        # of a comment (round-3; VERDICT r2 item 4): euler_weak with the two
-        # levers the round-2 studies measured for the ~10-minute budget —
-        # cosine 200k (wins at 200k but NOT at 1M: u 0.064 vs 0.080,
-        # tighter band — PARITY §4l refinement sweep) and
-        # model.precision='default' (the weak-form flux path has no
-        # second-derivative chain, so HIGHEST does not bind: 4.4× faster
-        # step, quality inside the seed band — PARITY §4k Euler riders).
-        # Expected band at 200k over seeds 1234/7/99 (precision=highest
-        # numbers): rho 0.029-0.043 / u 0.064-0.076 / E 0.020-0.025.
-        # For the best-known quality at ~32 min, use euler_weak.
+        # of a comment (round-3; VERDICT r2 item 4): euler_weak + cosine
+        # 200k (wins at 200k but NOT at 1M: u 0.064 vs 0.080, tighter band
+        # — PARITY §4l refinement sweep). Measured band at 200k over seeds
+        # 1234/7/99: rho 0.029-0.043 / u 0.064-0.076 / E 0.020-0.025
+        # (~7.4 min); an L-BFGS tail (optimizer.kind='hybrid',
+        # switch_epoch=200k) sharpens it to rho/u/E .021/.045/.014
+        # (PARITY §4o). precision='default' (the §4k "4.4× faster at
+        # near-parity" rider) was re-measured on THIS final recipe in
+        # round 3 and is a ~3× QUALITY REGRESSION (1M solo u 0.185 vs
+        # 0.054; all 8 ensemble members u 0.19-0.22 vs 0.065-0.077 at
+        # highest — PARITY §4o): the §4k rider was measured on the old
+        # pre-mixed-formulation recipe at its 0.2 plateau, where the loss
+        # of f32 matmul accuracy was invisible. Keep 'highest' here.
+        # For the best-known quality at ~34 min, use euler_weak.
         name="euler_weak_fast",
         model=ModelConfig(
             layers=EULER_TRUNK, n_paths=2, path_sharpness=12.0,
-            precision="default",
         ),
         pde=PDEConfig(kind="euler", gamma=1.4, lambda2=1e-3),
         sampling=SamplingConfig(

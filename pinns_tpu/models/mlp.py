@@ -46,7 +46,9 @@ class MLPSpec:
         rescaled to [-1, 1] with them.
       dtype: parameter / accumulation dtype (jnp.float32 by default).
       precision: matmul precision — 'highest' keeps float32 MXU accuracy,
-        which the u_xx path requires; 'default' allows bf16 MXU passes.
+        which the u_xx path requires; 'default' allows bf16 MXU passes but
+        measured a ~3× quality regression on the final Euler weak-form
+        recipe (PARITY §4o) — use compute_dtype for measured mixing instead.
       compute_dtype: when set (e.g. jnp.bfloat16), the RESIDUAL path
         (ops/taylor.py) stores its derivative streams and feeds its matmuls
         in this dtype while EVERY dot accumulates into `dtype`, elementwise
