@@ -44,3 +44,18 @@ def test_experiment_is_hashable():
 def test_replace_shortcut():
     exp = Experiment().replace(name="x")
     assert exp.name == "x"
+
+
+def test_shipped_presets_keep_f32_matmul_precision():
+    # PARITY 4o: matmul precision='default' (bf16 MXU passes) measured a
+    # ~3x rel-L2 regression on the final Euler mixed-formulation recipe
+    # (1M solo u 0.185 vs 0.054; all 8 ensemble members ~0.2). Guard that
+    # no shipped preset reintroduces the lever — measured mixing goes
+    # through ModelConfig.compute_dtype instead.
+    from pinns_tpu.experiments import PRESETS
+
+    for name, exp in PRESETS.items():
+        assert exp.model.precision == "highest", (
+            f"preset {name!r} ships model.precision={exp.model.precision!r}; "
+            "PARITY 4o measured 'default' as a quality regression"
+        )
