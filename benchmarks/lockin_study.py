@@ -35,6 +35,21 @@ RUNS = [
     ("eu_fast_lockin", "euler_weak",
      {**LOCKIN, "optimizer.lr_schedule": "cosine", "train.chunk": 250},
      200_050),
+    # Round-3 follow-ups (run by tag from the queue's last leg):
+    # seeds 7/99 of the winning Euler hybrid cell — 3-seed evidence before
+    # promoting the recipe beyond a preset-comment override (PARITY 4o)
+    ("eu_fast_lockin_s7", "euler_weak",
+     {**LOCKIN, "optimizer.lr_schedule": "cosine", "train.chunk": 250,
+      "train.seed": 7}, 200_050),
+    ("eu_fast_lockin_s99", "euler_weak",
+     {**LOCKIN, "optimizer.lr_schedule": "cosine", "train.chunk": 250,
+      "train.seed": 99}, 200_050),
+    # 200k-solo attribution cell for the 4o precision verdict: same recipe
+    # as eu_fast (Adam-only) but precision='default' — pins that the
+    # ensemble/1M collapse is the precision lever, not vmap or schedule
+    ("eu_fast_precdefault", "euler_weak",
+     {"optimizer.lr_schedule": "cosine", "optimizer.schedule_epochs": 200_000,
+      "train.chunk": 250, "model.precision": "default"}, 200_000),
 ]
 
 
