@@ -154,6 +154,64 @@ def ensemble_predict(trainer, stacked: TrainState, x) -> dict:
     return out
 
 
+def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
+                      alpha=0.05, n_cal=1024, seed=0) -> dict:
+    """Numpy core of :func:`uq_calibration` (unit-testable in isolation).
+
+    Raw coverage at k*std for each k, the shock split (steepest-gradient
+    decile of ``grad_mag``), the leaky whole-grid inflation factor ``k95``,
+    and SPLIT-CONFORMAL calibration (Vovk et al.; Lei et al. 2018): a random
+    held-out calibration subset of the points yields the conformal quantile
+    ``k_conf95`` of the score |err|/std, and ``cov_conf95`` verifies the
+    resulting band mean ± k_conf95*std on the DISJOINT remainder — by
+    exchangeability its expectation is >= 1-alpha, so this is the shipped,
+    honest route to 95% bands from an overconfident ensemble.
+    ``cov_conf95_shock`` measures the same band's conditional coverage at
+    the shock, which conformal does NOT guarantee — the honest flank."""
+    exact = np.asarray(exact, np.float64)
+    mean = np.asarray(mean, np.float64)
+    std = np.asarray(std, np.float64)
+    err = np.abs(mean - exact)
+    row = {
+        f"cov{k:g}s": float(np.mean(err <= k * std + 1e-12)) for k in ks
+    }
+    shock_mask = None
+    if grad_mag is not None:
+        gm = np.asarray(grad_mag, np.float64).ravel()
+        shock_mask = gm >= np.quantile(gm, 0.9)
+        row["cov2s_shock"] = float(
+            np.mean(err.ravel()[shock_mask]
+                    <= 2.0 * std.ravel()[shock_mask] + 1e-12)
+        )
+    row["mean_std"] = float(np.mean(std))
+    row["rmse"] = float(np.sqrt(np.mean(err**2)))
+    # the std-inflation factor that WOULD give 95% coverage ON THIS grid:
+    # computed on all points, so it leaks — carry it only as a rough factor
+    # from a known problem to an unknown one (PARITY §4n)
+    scores = err.ravel() / (std.ravel() + 1e-12)
+    row["k95"] = float(np.quantile(scores, 1.0 - alpha))
+    # split-conformal: calibrate on a held-out random subset, verify on the
+    # rest (a user with any labeled holdout can do exactly this; on these
+    # datasets the grid minus the n_u training points is such a holdout —
+    # the random subset overlaps them with negligible probability)
+    n = scores.size
+    m = int(min(n_cal, n // 4)) or 1
+    idx = np.random.default_rng(seed).permutation(n)
+    cal, rest = idx[:m], idx[m:]
+    level = min(1.0, np.ceil((m + 1) * (1.0 - alpha)) / m)
+    k_conf = float(np.quantile(scores[cal], level, method="higher"))
+    row["k_conf95"] = k_conf
+    band_ok = err.ravel() <= k_conf * std.ravel() + 1e-12
+    row["cov_conf95"] = float(np.mean(band_ok[rest]))
+    if shock_mask is not None:
+        rest_shock = np.zeros(n, bool)
+        rest_shock[rest] = True
+        rest_shock &= shock_mask
+        if rest_shock.any():
+            row["cov_conf95_shock"] = float(np.mean(band_ok[rest_shock]))
+    return row
+
+
 def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0)) -> dict:
     """Coverage calibration of the deep-ensemble uncertainty on the dense
     evaluation grid: per field, the fraction of grid points whose true error
@@ -162,36 +220,26 @@ def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0)) -> dict:
     (the shock/contact region, where UQ claims matter most). A perfectly
     calibrated Gaussian ensemble would give ~0.68/0.95/0.997; deep ensembles
     are typically overconfident at sharp features — this measures by how
-    much. Returns {field: {'cov1s':..,'cov2s':..,'cov3s':..,
-    'cov2s_shock':.., 'mean_std':.., 'rmse':..}}."""
+    much — and the returned split-conformal ``k_conf95``/``cov_conf95``
+    (see :func:`calibration_stats`) is the shipped fix. Returns
+    {field: {'cov1s':..,'cov2s':..,'cov3s':..,'cov2s_shock':..,
+    'mean_std':..,'rmse':..,'k95':..,'k_conf95':..,'cov_conf95':..}}."""
     ds = trainer.problem.dataset
     preds = ensemble_predict(trainer, stacked, ds.X_star)
     out = {}
     for name, p in preds.items():
         if name not in ds.star:  # residual outputs have no exact field
             continue
-        exact = np.asarray(ds.star[name], np.float64)
-        mean = np.asarray(p["mean"], np.float64)
-        std = np.asarray(p["std"], np.float64)
-        err = np.abs(mean - exact)
-        row = {
-            f"cov{k:g}s": float(np.mean(err <= k * std + 1e-12)) for k in ks
-        }
         # shock split: steepest-|d/dx| decile of the exact (Nt, Nx) grid
-        gx = np.abs(np.gradient(np.asarray(ds.fields[name], np.float64), axis=1))
-        mask = (gx >= np.quantile(gx, 0.9)).reshape(-1, 1).ravel()
-        row["cov2s_shock"] = float(
-            np.mean(err.ravel()[mask] <= 2.0 * std.ravel()[mask] + 1e-12)
+        gx = np.abs(
+            np.gradient(np.asarray(ds.fields[name], np.float64), axis=1)
         )
-        row["mean_std"] = float(np.mean(std))
-        row["rmse"] = float(np.sqrt(np.mean(err**2)))
-        # the std-inflation factor that WOULD give 95% coverage: report it
-        # so a user who can calibrate on one known problem has the number
-        # to carry to the unknown one (deep ensembles are overconfident
-        # here — members share data and make the same systematic PDE-fit
-        # error at fronts, so spread underestimates error; PARITY §4m)
-        row["k95"] = float(np.quantile(err / (std + 1e-12), 0.95))
-        out[name] = row
+        grad_mag = np.broadcast_to(
+            gx.reshape(-1, 1), np.asarray(p["mean"]).shape
+        )
+        out[name] = calibration_stats(
+            ds.star[name], p["mean"], p["std"], grad_mag=grad_mag, ks=ks,
+        )
     return out
 
 

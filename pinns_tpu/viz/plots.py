@@ -92,10 +92,14 @@ def plot_uncertainty(
     uq: Dict[str, Dict[str, np.ndarray]],
     out_path: str = "uncertainty.png",
     title: str = "",
+    band_k: float = 2.0,
 ):
     """Render deep-ensemble uncertainty (`ensemble_predict` output): per field
-    a predictive-std heatmap plus t-slices of the ensemble mean with a ±2σ
-    band against the exact solution. Same panel layout as `plot_solution`.
+    a predictive-std heatmap plus t-slices of the ensemble mean with a
+    ±band_k·σ band against the exact solution. Same panel layout as
+    `plot_solution`. Deep ensembles are measured ~8× overconfident on this
+    suite (PARITY §4n) — pass the split-conformal ``k_conf95`` from
+    `uq_calibration` as ``band_k`` to draw honest 95% bands.
     """
     import matplotlib
 
@@ -140,11 +144,11 @@ def plot_uncertainty(
             )
             ax.fill_between(
                 ds.x.ravel(),
-                mean[ti] - 2 * std[ti],
-                mean[ti] + 2 * std[ti],
+                mean[ti] - band_k * std[ti],
+                mean[ti] + band_k * std[ti],
                 color="r",
                 alpha=0.2,
-                label="$\\pm 2\\sigma$",
+                label=f"$\\pm {band_k:g}\\sigma$",
             )
             ax.set_xlabel("$x$")
             ax.set_ylabel(f"${name}(t,x)$")

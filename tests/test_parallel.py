@@ -279,3 +279,47 @@ def test_uq_calibration_coverage_fields():
     assert row["mean_std"] > 0.0 and row["rmse"] > 0.0
     # k95: inflating std by k95 gives >= 95% coverage by construction
     assert row["k95"] > 0.0
+
+
+def test_conformal_calibration_fixes_overconfidence():
+    """Split-conformal on a controlled Gaussian: with an 8x overconfident
+    std (the measured deep-ensemble regime, PARITY 4n), the conformal band
+    mean +- k_conf95*std restores ~95% coverage on the held-out remainder,
+    while the raw 2-sigma band covers far less."""
+    from pinns_tpu.parallel.ensemble import calibration_stats
+
+    rng = np.random.default_rng(42)
+    n = 20_000
+    sigma = 0.1 * (1.0 + rng.random(n))  # heteroscedastic truth scale
+    exact = np.zeros(n)
+    mean = rng.normal(0.0, sigma)        # |err| = sigma * |N(0,1)|
+    std = sigma / 8.0                    # ensemble 8x overconfident
+    row = calibration_stats(exact, mean, std, grad_mag=np.abs(mean))
+    assert row["cov2s"] < 0.35           # raw band badly undercovers
+    # conformal quantile recovers ~8 * 1.96
+    assert 12.0 < row["k_conf95"] < 20.0
+    assert 0.93 <= row["cov_conf95"] <= 0.97
+    assert 0.0 <= row["cov_conf95_shock"] <= 1.0
+
+    # calibrated (std already = truth scale): k_conf95 ~ 1.96, same coverage
+    row2 = calibration_stats(exact, mean, sigma)
+    assert 1.7 < row2["k_conf95"] < 2.3
+    assert 0.93 <= row2["cov_conf95"] <= 0.97
+
+
+def test_uq_calibration_reports_conformal_keys():
+    from pinns_tpu.parallel.ensemble import run_ensemble, uq_calibration
+
+    tr = Trainer(_exp(**{
+        "model.layers": (2, 12, 12, 1),
+        "sampling.n_f": 128,
+        "train.epochs": 100,
+        "train.chunk": 100,
+    }))
+    stacked, _ = run_ensemble(tr, seeds=[0, 1])
+    row = uq_calibration(tr, stacked)["u"]
+    assert row["k_conf95"] > 0.0
+    # conformal coverage on the disjoint remainder is near-nominal by
+    # exchangeability (wide tolerance: tiny ensemble, spatially correlated
+    # errors on a grid)
+    assert row["cov_conf95"] >= 0.80
