@@ -190,8 +190,11 @@ class LossConfig:
     causal_bins: int = 32
     # Scale-free causal weights: w_b = exp(-eps * prefix_b / mean(L_b)),
     # so selection pressure PERSISTS as residuals vanish instead of fading
-    # to 1 (the measured over-training drift of the absolute form, PARITY
-    # §4j). eps then plays at O(0.1), not the absolute form's eps=30.
+    # to 1. eps then plays at O(0.1), not the absolute form's eps=30.
+    # Measured verdict (PARITY §4o): leave OFF — on the dissipation-matched
+    # recipe the absolute form no longer drifts at 500k (0.045 vs §4j's old
+    # 0.118) and the relative form is band-edge at 200k and WORSE at 500k
+    # (0.090); there is no measured config where it wins.
     causal_relative: bool = False
     # entropy_weight > 0 adds a pointwise entropy-admissibility penalty that
     # selects the entropy solution among weak solutions the residual alone
