@@ -89,7 +89,8 @@ def uq_export_after(tr, stacked, n, tag):
     cpu_roundtrip(solo_path, probe_x, tr.predict(solo_state.params, probe_x),
                   f"{tag}_solo")
     ens_path = export_ensemble(tr, stacked.params,
-                               os.path.join(ART, f"{tag}_ens"))
+                               os.path.join(ART, f"{tag}_ens"),
+                               calibration=cal)
     ens_tpu = ensemble_predict(tr, stacked, probe_x)
     flat = {}
     for fname, p in ens_tpu.items():

@@ -74,10 +74,18 @@ def export_predict(trainer, params=None, path: str = "exported_model") -> str:
     return path
 
 
-def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble") -> str:
+def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble",
+                    calibration: Optional[dict] = None) -> str:
     """Export a deep-ensemble UQ predictor: one artifact whose outputs are
     per-field ``{name}`` (ensemble mean) and ``{name}_std`` over the stacked
     member axis. Serving uncertainty costs one call, like the point model.
+
+    ``calibration``: optional :func:`pinns_tpu.parallel.ensemble.uq_calibration`
+    output. Its per-field conformal factors are stored in ``meta.json`` under
+    ``calibration`` (and thus exposed by the HTTP ``/meta`` endpoint), so a
+    serving client can widen the exported std into honest ~95% bands —
+    mean ± k_conf95·std — without any framework code. Raw ensemble σ is
+    measured ~8× overconfident at fronts on this suite (PARITY §4n).
     """
     import jax.numpy as jnp
 
@@ -113,6 +121,12 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble") ->
         "pde": trainer.exp.pde.kind,
         "ensemble_members": int(n_members),
     }
+    if calibration:
+        keep = ("k_conf95", "cov_conf95", "cov2s", "k95")
+        meta["calibration"] = {
+            f: {k: float(row[k]) for k in keep if k in row}
+            for f, row in calibration.items()
+        }
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f, indent=1)
     return path
@@ -143,6 +157,13 @@ class ServedModel:
         x = np.asarray(jnp.asarray(np.asarray(x), dtype))
         out = self._call(x)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def band_k(self, field: str, default: float = 2.0) -> float:
+        """Calibrated band factor for ``mean ± k·std`` on an ensemble
+        artifact exported with ``calibration=`` (conformal ``k_conf95``,
+        honest ~95% coverage); ``default`` when the artifact carries none."""
+        cal = self.meta.get("calibration") or {}
+        return float(cal.get(field, {}).get("k_conf95", default))
 
 
 def load_exported(path: str) -> ServedModel:

@@ -118,6 +118,27 @@ def test_export_ensemble_uq(tmp_path):
     )
 
 
+def test_export_ensemble_calibration_meta(tmp_path):
+    """export_ensemble(calibration=...) bakes the conformal band factors
+    into meta.json; band_k() serves them (and falls back to 2.0)."""
+    from pinns_tpu.parallel.ensemble import init_ensemble_states, uq_calibration
+    from pinns_tpu.serve import export_ensemble
+
+    tr, _ = _trained("abgrall_l2")
+    stacked = init_ensemble_states(tr, seeds=[0, 1, 2])
+    cal = uq_calibration(tr, stacked)
+    path = export_ensemble(tr, stacked.params, str(tmp_path / "ens"),
+                           calibration=cal)
+    served = load_exported(path)
+    assert served.band_k("u") == pytest.approx(cal["u"]["k_conf95"])
+    assert served.meta["calibration"]["u"]["cov_conf95"] == pytest.approx(
+        cal["u"]["cov_conf95"]
+    )
+    # artifact without calibration: default band factor
+    path2 = export_ensemble(tr, stacked.params, str(tmp_path / "ens2"))
+    assert load_exported(path2).band_k("u") == 2.0
+
+
 def test_export_bf16_master_dtype_serves(tmp_path):
     """A bfloat16-master-dtype export must load and predict: the meta
     round-trips the dtype as the string 'bfloat16', which plain
