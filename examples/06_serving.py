@@ -13,6 +13,10 @@ experiment config, checks prediction parity, then round-trips a request
 through a live HTTP server. The same flow works for ensemble artifacts
 (`export_ensemble`): the service then returns `{field}` (mean) and
 `{field}_std` (uncertainty) per request — see example 05 for training one.
+Export with `calibration=uq_calibration(...)` to bake conformal band
+factors into the artifact: GET /meta then exposes per-field `k_conf95`,
+and `mean ± k_conf95·std` is an honest ~95% band (raw ensemble sigma is
+measured ~8x overconfident at fronts — PARITY 4n).
 CLI equivalents:
 
     python -m pinns_tpu export --preset burgers_forward --checkpoint C --out D
