@@ -6,5 +6,6 @@ from pinns_tpu.parallel.ensemble import (
     evaluate_ensemble,
     ensemble_predict,
     run_ensemble,
+    calibration_stats,
     uq_calibration,
 )
