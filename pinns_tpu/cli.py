@@ -164,13 +164,42 @@ def cmd_eval(args):
 
 
 def cmd_export(args):
-    from pinns_tpu.serve import export_predict
+    from pinns_tpu.serve import export_ensemble, export_predict
     from pinns_tpu.train import Trainer
 
     exp = _build_exp(args)
     trainer = Trainer(exp)
-    state = trainer.load_checkpoint(args.checkpoint)
-    path = export_predict(trainer, state.params, args.out)
+    if len(args.checkpoint) == 1 and not args.calibrate:
+        state = trainer.load_checkpoint(args.checkpoint[0])
+        path = export_predict(trainer, state.params, args.out)
+        print(path)
+        return 0
+    # ensemble artifact from per-member checkpoints (the files
+    # `train --ensemble E` writes as <name>_final_m<i>.ckpt)
+    import jax
+    import numpy as np
+
+    if len(args.checkpoint) == 1:
+        raise SystemExit(
+            "--calibrate needs an ensemble: pass every member checkpoint "
+            "(calibration is the conformal factor over member spread)"
+        )
+    states = [trainer.load_checkpoint(c) for c in args.checkpoint]
+    stacked_params = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[s.params for s in states],
+    )
+    cal = None
+    if args.calibrate:
+        from pinns_tpu.parallel.ensemble import uq_calibration
+
+        stacked = states[0]._replace(params=stacked_params)
+        cal = uq_calibration(trainer, stacked)
+        for field, row in cal.items():
+            print(json.dumps({"field": field, **{
+                k: round(float(v), 4) for k, v in row.items()
+            }}))
+    path = export_ensemble(trainer, stacked_params, args.out, calibration=cal)
     print(path)
     return 0
 
@@ -395,12 +424,24 @@ def main(argv=None):
 
     p = sub.add_parser(
         "export",
-        help="export a checkpoint as a self-contained serving artifact "
-        "(StableHLO, weights baked in, symbolic batch dim)",
+        help="export checkpoint(s) as a self-contained serving artifact "
+        "(StableHLO, weights baked in, symbolic batch dim); several "
+        "checkpoints -> one ensemble mean+std artifact",
     )
     add_common(p)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument(
+        "--checkpoint", required=True, nargs="+",
+        help="one checkpoint for a point model, or every member checkpoint "
+        "(train --ensemble E writes <name>_final_m<i>.ckpt) for an "
+        "ensemble UQ artifact",
+    )
     p.add_argument("--out", default="exported_model", help="artifact directory")
+    p.add_argument(
+        "--calibrate", action="store_true",
+        help="bake split-conformal band factors (k_conf95 per field, "
+        "measured on the preset's evaluation grid) into the ensemble "
+        "artifact's meta.json",
+    )
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(

@@ -203,3 +203,61 @@ def test_http_server_meta_and_predict(tmp_path):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_cli_export_ensemble_calibrated(tmp_path, capsys):
+    """`export` with every member checkpoint + --calibrate builds one
+    mean+std artifact whose meta carries the conformal band factors —
+    the full train->export->serve UQ path through the CLI alone."""
+    import pytest as _pytest
+
+    from pinns_tpu.cli import main as cli_main
+
+    out_dir = str(tmp_path)
+    small = [
+        "--set", "model.layers=(2,12,12,1)", "--set", "sampling.n_f=128",
+        "--set", "train.chunk=50",
+    ]
+    rc = cli_main(
+        ["train", "--preset", "abgrall_l2", *small, "--epochs", "100",
+         "--ensemble", "2", "--out-dir", out_dir]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    ckpts = [
+        os.path.join(out_dir, f"abgrall_l2_final_m{i}.ckpt") for i in range(2)
+    ]
+    assert all(os.path.exists(c) for c in ckpts)
+
+    art = os.path.join(out_dir, "ens_artifact")
+    rc = cli_main(
+        ["export", "--preset", "abgrall_l2", *small,
+         "--checkpoint", *ckpts, "--out", art, "--calibrate"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[-1] == art  # calibration rows, then the artifact path
+    import json as _json
+
+    rows = [_json.loads(l) for l in lines[:-1]]
+    assert any(r["field"] == "u" and "k_conf95" in r for r in rows)
+
+    served = load_exported(art)
+    assert served.meta["ensemble_members"] == 2
+    assert "u_std" in served.fields
+    assert served.band_k("u") == _pytest.approx(
+        served.meta["calibration"]["u"]["k_conf95"]
+    )
+    out = served.predict(np.zeros((4, 2), np.float32))
+    assert out["u"].shape == (4, 1) and out["u_std"].shape == (4, 1)
+
+
+def test_cli_export_calibrate_needs_ensemble(tmp_path):
+    from pinns_tpu.cli import main as cli_main
+
+    with pytest.raises(SystemExit):
+        cli_main(
+            ["export", "--preset", "abgrall_l2",
+             "--checkpoint", "one.ckpt", "--calibrate",
+             "--out", str(tmp_path / "x")]
+        )
