@@ -156,10 +156,53 @@ def cmd_sweep(args):
 def cmd_eval(args):
     from pinns_tpu.train import Trainer
 
+    if getattr(args, "artifact", None):
+        return _eval_artifact(args)
+    if not args.checkpoint:
+        raise SystemExit("eval needs --checkpoint or --artifact")
+    if not args.preset:
+        raise SystemExit("eval --checkpoint needs --preset")
     exp = _build_exp(args)
     trainer = Trainer(exp)
     state = trainer.load_checkpoint(args.checkpoint)
     print(json.dumps(trainer.evaluate(state)))
+    return 0
+
+
+def _eval_artifact(args):
+    """Grade a deployed serving artifact against the dataset's exact grid —
+    no checkpoint or training state needed (the quality gate for rollouts:
+    everything comes from the artifact dir + the named dataset). For
+    ensemble artifacts also measures the served band's actual coverage,
+    |mean - exact| <= band_k(field)*std per field (band_k is the baked
+    conformal k_conf95 when the artifact was exported with --calibrate,
+    else the 2.0 default)."""
+    import numpy as np
+
+    from pinns_tpu.serve import load_exported
+    from pinns_tpu.train import Trainer
+    from pinns_tpu.train.evaluate import relative_l2
+
+    served = load_exported(args.artifact)
+    if not args.preset:
+        args.preset = served.meta["experiment"]
+    exp = _build_exp(args)
+    trainer = Trainer(exp)
+    ds = trainer.problem.dataset
+    preds = served.predict(np.asarray(ds.X_star))
+    out = {"artifact": args.artifact, "experiment": exp.name}
+    for name in sorted(ds.star):
+        if name not in preds:
+            continue
+        exact = np.asarray(ds.star[name])
+        out[f"rel_l2_{name}"] = relative_l2(preds[name], exact)
+        std = preds.get(f"{name}_std")
+        if std is not None:
+            k = served.band_k(name)
+            err = np.abs(np.asarray(preds[name]) - exact)
+            out[f"band_k_{name}"] = round(float(k), 4)
+            out[f"band_cov_{name}"] = float(np.mean(err <= k * np.asarray(std)))
+    print(json.dumps(out))
     return 0
 
 
@@ -417,9 +460,24 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="JSONL results path")
     p.set_defaults(fn=cmd_sweep)
 
-    p = sub.add_parser("eval", help="evaluate a checkpoint")
-    add_common(p)
-    p.add_argument("--checkpoint", required=True)
+    p = sub.add_parser(
+        "eval",
+        help="evaluate a checkpoint, or grade a serving artifact in place "
+        "(rel-L2 per field + served-band coverage; no checkpoint needed)",
+    )
+    p.add_argument(
+        "--preset", default=None,
+        help="with --artifact, defaults to the artifact's own experiment",
+    )
+    p.add_argument(
+        "--set", action="append", metavar="KEY=VALUE",
+        help="dotted config override, e.g. sampling.n_f=4000",
+    )
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument(
+        "--artifact", default=None,
+        help="exported artifact directory (from `export`)",
+    )
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser(

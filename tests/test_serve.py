@@ -261,3 +261,45 @@ def test_cli_export_calibrate_needs_ensemble(tmp_path):
              "--checkpoint", "one.ckpt", "--calibrate",
              "--out", str(tmp_path / "x")]
         )
+
+
+def test_cli_eval_artifact(tmp_path, capsys):
+    """`eval --artifact` grades a deployed artifact in place: rel-L2 per
+    field, plus served-band coverage on ensemble artifacts — preset
+    defaults to the artifact's own experiment."""
+    import json as _json
+
+    from pinns_tpu.cli import main as cli_main
+    from pinns_tpu.parallel.ensemble import init_ensemble_states, uq_calibration
+    from pinns_tpu.serve import export_ensemble, export_predict
+
+    tr, state = _trained("abgrall_l2")
+    point = export_predict(tr, state.params, str(tmp_path / "point"))
+    rc = cli_main(["eval", "--artifact", point,
+                   "--set", "model.layers=(2,12,12,1)"])
+    assert rc == 0
+    row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = tr.evaluate(state)
+    np.testing.assert_allclose(row["rel_l2_u"], want["rel_l2_u"], rtol=1e-4)
+    assert "band_cov_u" not in row  # point artifact has no band
+
+    stacked = init_ensemble_states(tr, seeds=[0, 1])
+    cal = uq_calibration(tr, stacked)
+    ens = export_ensemble(tr, stacked.params, str(tmp_path / "ens"),
+                          calibration=cal)
+    rc = cli_main(["eval", "--artifact", ens,
+                   "--set", "model.layers=(2,12,12,1)"])
+    assert rc == 0
+    row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["band_k_u"] == pytest.approx(cal["u"]["k_conf95"], rel=1e-3)
+    # same grid the factor was conformalized on -> coverage ~= target
+    assert row["band_cov_u"] == pytest.approx(cal["u"]["cov_conf95"], abs=0.02)
+
+
+def test_cli_eval_needs_a_source():
+    from pinns_tpu.cli import main as cli_main
+
+    with pytest.raises(SystemExit):
+        cli_main(["eval", "--preset", "abgrall_l2"])
+    with pytest.raises(SystemExit):
+        cli_main(["eval", "--checkpoint", "x.ckpt"])  # no preset
