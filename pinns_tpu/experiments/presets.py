@@ -297,9 +297,12 @@ PRESETS = {
         # 200k (wins at 200k but NOT at 1M: u 0.064 vs 0.080, tighter band
         # — PARITY §4l refinement sweep). Measured band at 200k over seeds
         # 1234/7/99: rho 0.029-0.043 / u 0.064-0.076 / E 0.020-0.025
-        # (~7.4 min); an L-BFGS tail (optimizer.kind='hybrid',
-        # switch_epoch=200k) sharpens it to rho/u/E .021/.045/.014
-        # (PARITY §4o). precision='default' (the §4k "4.4× faster at
+        # (~7.4 min). An L-BFGS tail (optimizer.kind='hybrid',
+        # switch_epoch=200k) reached the best fast-budget numbers measured
+        # (rho/u/E .021/.045/.014) on seed 1234 but FAILED seed
+        # replication (u 0.176 @ s7, 0.105 @ s99 — PARITY §4o): solo it is
+        # a coin flip, so Adam-only ships; use the tail only when running
+        # several seeds and picking the best. precision='default' (the §4k "4.4× faster at
         # near-parity" rider) was re-measured on THIS final recipe in
         # round 3 and is a ~3× QUALITY REGRESSION (1M solo u 0.185 vs
         # 0.054; all 8 ensemble members u 0.19-0.22 vs 0.065-0.077 at
