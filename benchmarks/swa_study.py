@@ -68,7 +68,7 @@ def uq_export_after(tr, stacked, n, tag):
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from uq_export_study import ART, cpu_roundtrip, emit
+    from uq_export_study import ART, _round4, cpu_roundtrip, emit
 
     from pinns_tpu.parallel.ensemble import (
         ensemble_predict,
@@ -79,7 +79,7 @@ def uq_export_after(tr, stacked, n, tag):
 
     cal = uq_calibration(tr, stacked)
     emit({"tag": f"{tag}_calibration", **{
-        f: {k: round(v, 4) for k, v in row.items()} for f, row in cal.items()
+        f: {k: _round4(v) for k, v in row.items()} for f, row in cal.items()
     }})
     os.makedirs(ART, exist_ok=True)
     probe_x = np.asarray(tr.problem.dataset.X_star[:257], np.float32)

@@ -68,6 +68,12 @@ def emit(rec):
     print(json.dumps(rec), flush=True)
 
 
+def _round4(v):
+    if isinstance(v, list):
+        return [round(float(x), 4) for x in v]
+    return round(float(v), 4)
+
+
 def cpu_roundtrip(path, probe_x, tpu_preds, tag):
     """Reload a TPU-exported artifact on CPU in a clean subprocess and
     compare predictions pointwise against the TPU-side values."""
@@ -119,7 +125,7 @@ def run_case(tag):
 
     cal = uq_calibration(tr, stacked)
     emit({"tag": f"{tag}_calibration", **{
-        f: {k: round(v, 4) for k, v in row.items()} for f, row in cal.items()
+        f: {k: _round4(v) for k, v in row.items()} for f, row in cal.items()
     }})
 
     # export ON the TPU backend; parity-check in a CPU subprocess

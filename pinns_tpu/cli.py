@@ -202,6 +202,12 @@ def _eval_artifact(args):
             err = np.abs(np.asarray(preds[name]) - exact)
             out[f"band_k_{name}"] = round(float(k), 4)
             out[f"band_cov_{name}"] = float(np.mean(err <= k * np.asarray(std)))
+            cal = (served.meta.get("calibration") or {}).get(name, {})
+            if cal.get("mond_k"):  # Mondrian std-binned bands (serve.band_ks)
+                kpt = served.band_ks(name, std)
+                out[f"band_cov_mond_{name}"] = float(
+                    np.mean(err <= kpt * np.asarray(std))
+                )
     print(json.dumps(out))
     return 0
 
@@ -240,7 +246,9 @@ def cmd_export(args):
         cal = uq_calibration(trainer, stacked)
         for field, row in cal.items():
             print(json.dumps({"field": field, **{
-                k: round(float(v), 4) for k, v in row.items()
+                k: ([round(float(x), 4) for x in v] if isinstance(v, list)
+                    else round(float(v), 4))
+                for k, v in row.items()
             }}))
     path = export_ensemble(trainer, stacked_params, args.out, calibration=cal)
     print(path)

@@ -155,7 +155,7 @@ def ensemble_predict(trainer, stacked: TrainState, x) -> dict:
 
 
 def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
-                      alpha=0.05, n_cal=1024, seed=0) -> dict:
+                      alpha=0.05, n_cal=1024, seed=0, n_bins=4) -> dict:
     """Numpy core of :func:`uq_calibration` (unit-testable in isolation).
 
     Raw coverage at k*std for each k, the shock split (steepest-gradient
@@ -167,7 +167,19 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
     exchangeability its expectation is >= 1-alpha, so this is the shipped,
     honest route to 95% bands from an overconfident ensemble.
     ``cov_conf95_shock`` measures the same band's conditional coverage at
-    the shock, which conformal does NOT guarantee — the honest flank."""
+    the shock, which a single global quantile does NOT guarantee.
+
+    MONDRIAN (std-binned) conformal sharpens exactly that flank: the
+    calibration subset is split into ``n_bins`` quantile bins of the
+    PREDICTED std (available at serving time — no truth needed to pick a
+    point's bin), each bin gets its own conformal quantile, and
+    exchangeability then guarantees ~95% coverage PER BIN. Ensemble std
+    peaks at fronts (PARITY §4n), so the shock largely lands in the top
+    bin and inherits a near-marginal guarantee instead of riding the
+    global quantile. Returns ``mond_edges`` (bin edges over std),
+    ``mond_k`` (per-bin factors), ``cov_mond95`` and ``cov_mond95_shock``
+    (verified on the disjoint remainder). Bins with fewer than 20
+    calibration points fall back to the global ``k_conf95``."""
     exact = np.asarray(exact, np.float64)
     mean = np.asarray(mean, np.float64)
     std = np.asarray(std, np.float64)
@@ -203,12 +215,37 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
     row["k_conf95"] = k_conf
     band_ok = err.ravel() <= k_conf * std.ravel() + 1e-12
     row["cov_conf95"] = float(np.mean(band_ok[rest]))
+    rest_shock = None
     if shock_mask is not None:
         rest_shock = np.zeros(n, bool)
         rest_shock[rest] = True
         rest_shock &= shock_mask
         if rest_shock.any():
             row["cov_conf95_shock"] = float(np.mean(band_ok[rest_shock]))
+    if n_bins > 1:
+        s_all = std.ravel()
+        edges = np.quantile(
+            s_all[cal], np.linspace(0.0, 1.0, n_bins + 1)[1:-1]
+        )
+        bin_of = np.searchsorted(edges, s_all, side="right")
+        mond_k = []
+        for b in range(n_bins):
+            sel = cal[bin_of[cal] == b]
+            if sel.size >= 20:
+                lvl = min(1.0, np.ceil((sel.size + 1) * (1.0 - alpha))
+                          / sel.size)
+                mond_k.append(
+                    float(np.quantile(scores[sel], lvl, method="higher"))
+                )
+            else:  # too few points for a meaningful finite-sample quantile
+                mond_k.append(k_conf)
+        k_pt = np.asarray(mond_k)[bin_of]
+        mond_ok = err.ravel() <= k_pt * s_all + 1e-12
+        row["mond_edges"] = [float(e) for e in edges]
+        row["mond_k"] = mond_k
+        row["cov_mond95"] = float(np.mean(mond_ok[rest]))
+        if rest_shock is not None and rest_shock.any():
+            row["cov_mond95_shock"] = float(np.mean(mond_ok[rest_shock]))
     return row
 
 

@@ -122,9 +122,14 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble",
         "ensemble_members": int(n_members),
     }
     if calibration:
-        keep = ("k_conf95", "cov_conf95", "cov2s", "k95")
+        keep = ("k_conf95", "cov_conf95", "cov2s", "k95",
+                "mond_edges", "mond_k", "cov_mond95", "cov_mond95_shock")
         meta["calibration"] = {
-            f: {k: float(row[k]) for k in keep if k in row}
+            f: {
+                k: ([float(v) for v in row[k]] if isinstance(row[k], list)
+                    else float(row[k]))
+                for k in keep if k in row
+            }
             for f, row in calibration.items()
         }
     with open(os.path.join(path, _META_NAME), "w") as f:
@@ -164,6 +169,23 @@ class ServedModel:
         honest ~95% coverage); ``default`` when the artifact carries none."""
         cal = self.meta.get("calibration") or {}
         return float(cal.get(field, {}).get("k_conf95", default))
+
+    def band_ks(self, field: str, std, default: float = 2.0) -> np.ndarray:
+        """Per-point band factors for ``mean ± k·std``: the Mondrian
+        (std-binned) conformal factors when the artifact carries them —
+        each served point is binned by its own predicted std
+        (``np.searchsorted`` over the baked ``mond_edges``) and gets that
+        bin's quantile, which restores near-95% coverage at fronts where
+        the global factor under-covers (PARITY §4n) — else a constant
+        array of :meth:`band_k`."""
+        cal = (self.meta.get("calibration") or {}).get(field, {})
+        edges, mond_k = cal.get("mond_edges"), cal.get("mond_k")
+        std = np.asarray(std, np.float64)
+        if not edges or not mond_k:
+            return np.full(std.shape, self.band_k(field, default))
+        idx = np.searchsorted(np.asarray(edges, np.float64), std,
+                              side="right")
+        return np.asarray(mond_k, np.float64)[idx]
 
 
 def load_exported(path: str) -> ServedModel:

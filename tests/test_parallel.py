@@ -307,6 +307,33 @@ def test_conformal_calibration_fixes_overconfidence():
     assert 0.93 <= row2["cov_conf95"] <= 0.97
 
 
+def test_mondrian_conformal_fixes_conditional_coverage():
+    """Mondrian (std-binned) conformal on a controlled case where the
+    miscalibration factor varies WITH the predicted std — the measured
+    shock regime (PARITY 4n: global conformal covers ~95% marginally but
+    only ~0.7 at the front, where std is largest and most overconfident).
+    One global quantile must under-cover the high-std region; per-std-bin
+    quantiles restore near-nominal coverage there by exchangeability
+    within the bin."""
+    from pinns_tpu.parallel.ensemble import calibration_stats
+
+    rng = np.random.default_rng(7)
+    n = 40_000
+    std = 0.01 + 0.09 * rng.random(n)          # predicted sigma
+    c = np.where(std > np.quantile(std, 0.75), 12.0, 2.0)
+    exact = np.zeros(n)
+    mean = rng.normal(0.0, c * std)            # true err scale = c * std
+    # "shock" = top std decile (inside the badly miscalibrated quartile)
+    row = calibration_stats(exact, mean, std, grad_mag=std)
+    assert len(row["mond_k"]) == 4 and len(row["mond_edges"]) == 3
+    # the top bin's factor reflects its own miscalibration (~12*1.96),
+    # the bottom bins stay tight (~2*1.96) — sharper AND safer than global
+    assert row["mond_k"][-1] > 1.5 * row["k_conf95"] > row["mond_k"][0]
+    assert row["cov_conf95_shock"] < 0.88     # global quantile under-covers
+    assert row["cov_mond95_shock"] >= 0.90    # Mondrian restores it
+    assert 0.92 <= row["cov_mond95"] <= 0.98
+
+
 def test_uq_calibration_reports_conformal_keys():
     from pinns_tpu.parallel.ensemble import run_ensemble, uq_calibration
 

@@ -134,9 +134,21 @@ def test_export_ensemble_calibration_meta(tmp_path):
     assert served.meta["calibration"]["u"]["cov_conf95"] == pytest.approx(
         cal["u"]["cov_conf95"]
     )
-    # artifact without calibration: default band factor
+    # Mondrian std-binned factors ride along and serve per point:
+    assert served.meta["calibration"]["u"]["mond_k"] == pytest.approx(
+        cal["u"]["mond_k"]
+    )
+    edges = cal["u"]["mond_edges"]
+    probe_std = np.array([0.0, *edges, edges[-1] * 10.0])
+    kpt = served.band_ks("u", probe_std)
+    assert kpt.shape == probe_std.shape
+    assert kpt[0] == pytest.approx(cal["u"]["mond_k"][0])
+    assert kpt[-1] == pytest.approx(cal["u"]["mond_k"][-1])
+    # artifact without calibration: default band factor, scalar + per-point
     path2 = export_ensemble(tr, stacked.params, str(tmp_path / "ens2"))
-    assert load_exported(path2).band_k("u") == 2.0
+    served2 = load_exported(path2)
+    assert served2.band_k("u") == 2.0
+    assert np.all(served2.band_ks("u", probe_std) == 2.0)
 
 
 def test_export_bf16_master_dtype_serves(tmp_path):
