@@ -63,15 +63,23 @@ print(f"std-vs-|error| correlation: {corr:.3f}")
 # disjoint remainder (cov_conf95).
 from pinns_tpu.parallel.ensemble import uq_calibration
 
-cal = uq_calibration(trainer, stacked)["u"]
+cal_all = uq_calibration(trainer, stacked)
+cal = cal_all["u"]
 print(
     f"raw cov@2sigma: {cal['cov2s']:.2f}  ->  conformal k={cal['k_conf95']:.1f}"
     f" gives holdout coverage {cal['cov_conf95']:.2f}"
     f" (shock-conditional {cal.get('cov_conf95_shock', float('nan')):.2f})"
+)
+# Mondrian std-binned factors fix the shock-conditional flank: each point
+# is binned by its own predicted std, each bin carries its own quantile
+print(
+    f"mondrian k per std bin: {[round(k, 1) for k in cal['mond_k']]}"
+    f" -> coverage {cal['cov_mond95']:.2f}"
+    f" (shock-conditional {cal.get('cov_mond95_shock', float('nan')):.2f})"
 )
 
 if "--plot" in sys.argv:
     from pinns_tpu.viz.plots import plot_uncertainty
 
     print(plot_uncertainty(ds, out, out_path="ensemble_uq.png",
-                           band_k=cal["k_conf95"]))
+                           calibration=cal_all))

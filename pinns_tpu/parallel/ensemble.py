@@ -249,6 +249,21 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
     return row
 
 
+def mond_band_factors(cal_row: dict, std, default: float = 2.0) -> np.ndarray:
+    """Per-point band factors from one :func:`calibration_stats` row: the
+    Mondrian std-binned conformal factors when present (each point binned
+    by its own predicted std over ``mond_edges``), else a constant array of
+    the global ``k_conf95`` (or ``default``). The serving-side twin is
+    :meth:`pinns_tpu.serve.ServedModel.band_ks` (kept separate so serve.py
+    needs only jax + the artifact)."""
+    edges, mond_k = cal_row.get("mond_edges"), cal_row.get("mond_k")
+    std = np.asarray(std, np.float64)
+    if not edges or not mond_k:
+        return np.full(std.shape, float(cal_row.get("k_conf95", default)))
+    idx = np.searchsorted(np.asarray(edges, np.float64), std, side="right")
+    return np.asarray(mond_k, np.float64)[idx]
+
+
 def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0)) -> dict:
     """Coverage calibration of the deep-ensemble uncertainty on the dense
     evaluation grid: per field, the fraction of grid points whose true error

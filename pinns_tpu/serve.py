@@ -85,7 +85,11 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble",
     ``calibration`` (and thus exposed by the HTTP ``/meta`` endpoint), so a
     serving client can widen the exported std into honest ~95% bands —
     mean ± k_conf95·std — without any framework code. Raw ensemble σ is
-    measured ~8× overconfident at fronts on this suite (PARITY §4n).
+    measured ~8-10× overconfident at fronts on this suite (PARITY §4n).
+    Mondrian std-binned factors (``mond_edges``/``mond_k``) ride along when
+    the calibration carries them — :meth:`ServedModel.band_ks` serves the
+    per-point factors that keep ~95% coverage conditional on the predicted
+    std bin (the front fix).
     """
     import jax.numpy as jnp
 

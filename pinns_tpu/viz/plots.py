@@ -93,13 +93,16 @@ def plot_uncertainty(
     out_path: str = "uncertainty.png",
     title: str = "",
     band_k: float = 2.0,
+    calibration: Optional[dict] = None,
 ):
     """Render deep-ensemble uncertainty (`ensemble_predict` output): per field
     a predictive-std heatmap plus t-slices of the ensemble mean with a
     ±band_k·σ band against the exact solution. Same panel layout as
     `plot_solution`. Deep ensembles are measured ~8× overconfident on this
     suite (PARITY §4n) — pass the split-conformal ``k_conf95`` from
-    `uq_calibration` as ``band_k`` to draw honest 95% bands.
+    `uq_calibration` as ``band_k`` to draw honest 95% bands, or pass the
+    whole `uq_calibration` dict as ``calibration`` to draw the Mondrian
+    std-binned bands (per-point factors; near-95% coverage even at fronts).
     """
     import matplotlib
 
@@ -118,6 +121,13 @@ def plot_uncertainty(
         exact = ds.fields[name]
         mean = _grid_pred(ds, uq[name]["mean"])
         std = _grid_pred(ds, uq[name]["std"])
+        k_grid, band_label = None, f"$\\pm {band_k:g}\\sigma$"
+        cal_row = (calibration or {}).get(name)
+        if cal_row:
+            from pinns_tpu.parallel.ensemble import mond_band_factors
+
+            k_grid = mond_band_factors(cal_row, std, default=band_k)
+            band_label = "$\\pm k_{95}(\\sigma)\\,\\sigma$"
         ax = axes[row][0]
         h = ax.imshow(
             std.T,
@@ -142,13 +152,14 @@ def plot_uncertainty(
             ax.plot(
                 ds.x.ravel(), mean[ti], "r--", linewidth=2, label="Ens. mean"
             )
+            half = (band_k if k_grid is None else k_grid[ti]) * std[ti]
             ax.fill_between(
                 ds.x.ravel(),
-                mean[ti] - band_k * std[ti],
-                mean[ti] + band_k * std[ti],
+                mean[ti] - half,
+                mean[ti] + half,
                 color="r",
                 alpha=0.2,
-                label=f"$\\pm {band_k:g}\\sigma$",
+                label=band_label,
             )
             ax.set_xlabel("$x$")
             ax.set_ylabel(f"${name}(t,x)$")

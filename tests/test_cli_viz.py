@@ -165,3 +165,13 @@ def test_plot_uncertainty(tmp_path):
         title="test",
     )
     assert os.path.exists(out) and os.path.getsize(out) > 10_000
+
+    # Mondrian bands: the whole uq_calibration dict selects per-point
+    # factors (std-binned conformal) instead of one global band_k
+    from pinns_tpu.parallel.ensemble import uq_calibration
+
+    out2 = plot_uncertainty(
+        tr.problem.dataset, uq, out_path=str(tmp_path / "uq_mond.png"),
+        calibration=uq_calibration(tr, stacked),
+    )
+    assert os.path.exists(out2) and os.path.getsize(out2) > 10_000
