@@ -14,9 +14,12 @@ through a live HTTP server. The same flow works for ensemble artifacts
 (`export_ensemble`): the service then returns `{field}` (mean) and
 `{field}_std` (uncertainty) per request — see example 05 for training one.
 Export with `calibration=uq_calibration(...)` to bake conformal band
-factors into the artifact: GET /meta then exposes per-field `k_conf95`,
-and `mean ± k_conf95·std` is an honest ~95% band (raw ensemble sigma is
-measured ~8x overconfident at fronts — PARITY 4n).
+factors into the artifact: GET /meta then exposes per-field `k_conf95`
+plus the Mondrian std-binned factors (`mond_edges`/`mond_k`), and a
+request body `{"x": ..., "bands": true}` makes /predict return
+`{field}_band` — the per-point calibrated ~95% half-width, Mondrian when
+baked — so clients need zero band math (raw ensemble sigma is measured
+~10x overconfident at fronts — PARITY 4n).
 CLI equivalents:
 
     python -m pinns_tpu export --preset burgers_forward --checkpoint C --out D

@@ -204,6 +204,11 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
       POST /predict  -> body {"x": [[x, t], ...]} returns
                         {field: [[...], ...]} for every exported field
                         (for ensemble artifacts that includes `{name}_std`).
+                        With {"x": ..., "bands": true} on a calibrated
+                        ensemble artifact, also returns `{name}_band`: the
+                        per-point calibrated 95% half-width
+                        (band_ks(name, std) * std — Mondrian factors when
+                        baked, else the global k_conf95, else 2.0).
 
     Returns the (unstarted) ThreadingHTTPServer; callers run
     ``server.serve_forever()`` (the CLI does) or drive it from a thread in
@@ -239,6 +244,14 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
                 if x.ndim != 2 or x.shape[1] != 2:
                     raise ValueError(f"x must be (N, 2), got {x.shape}")
                 out = served.predict(x)
+                if req.get("bands"):
+                    for k in list(out):
+                        if k.endswith("_std"):
+                            name = k[: -len("_std")]
+                            ks = served.band_ks(name, out[k])
+                            out[f"{name}_band"] = ks * np.asarray(
+                                out[k], np.float64
+                            )
                 self._send(
                     200,
                     {k: np.asarray(v, np.float32).tolist() for k, v in out.items()},

@@ -217,6 +217,54 @@ def test_http_server_meta_and_predict(tmp_path):
         server.shutdown()
 
 
+def test_http_predict_serves_calibrated_bands(tmp_path):
+    """POST /predict {"bands": true} on a calibrated ensemble artifact adds
+    `{name}_band`: the per-point 95% half-width band_ks(name, std)*std, so
+    a client needs zero framework code (or band math) for honest bands."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from pinns_tpu.parallel.ensemble import init_ensemble_states, uq_calibration
+    from pinns_tpu.serve import export_ensemble, make_http_server
+
+    tr, _ = _trained("abgrall_l2")
+    stacked = init_ensemble_states(tr, seeds=[0, 1, 2])
+    cal = uq_calibration(tr, stacked)
+    path = export_ensemble(tr, stacked.params, str(tmp_path / "ens"),
+                           calibration=cal)
+    server = make_http_server(path, port=0)
+    host, port = server.server_address[:2]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        x = np.asarray(tr.problem.dataset.X_star[:9], np.float32)
+        body = _json.dumps({"x": x.tolist(), "bands": True}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.loads(r.read())
+        assert "u_band" in out
+        served = load_exported(path)
+        std = np.asarray(out["u_std"], np.float64)
+        want = served.band_ks("u", std) * std
+        np.testing.assert_allclose(
+            np.asarray(out["u_band"], np.float64), want, rtol=1e-5, atol=1e-7
+        )
+        # without the flag the band key is absent
+        body2 = _json.dumps({"x": x.tolist()}).encode()
+        req2 = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=body2,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req2, timeout=120) as r:
+            out2 = _json.loads(r.read())
+        assert "u_band" not in out2
+    finally:
+        server.shutdown()
+
+
 def test_cli_export_ensemble_calibrated(tmp_path, capsys):
     """`export` with every member checkpoint + --calibrate builds one
     mean+std artifact whose meta carries the conformal band factors —
