@@ -50,6 +50,17 @@ RUNS = [
     ("eu_fast_precdefault", "euler_weak",
      {"optimizer.lr_schedule": "cosine", "optimizer.schedule_epochs": 200_000,
       "train.chunk": 250, "model.precision": "default"}, 200_000),
+    # Round-3 late cells: the tail on the 1M constant-LR envelope (the
+    # shipped euler_weak recipe, best-known .0205/.0544/.0162). The 200k
+    # cosine tail was seed-flaky (PARITY 4o: 1-in-3 seeds improved); the
+    # 1M basin is 5x longer-trained — measure whether the quasi-Newton
+    # polish is stable there before writing the tail off entirely.
+    ("eu_1m_lockin", "euler_weak",
+     {"optimizer.kind": "hybrid", "optimizer.switch_epoch": 1_000_000,
+      "train.chunk": 250}, 1_000_050),
+    ("eu_1m_lockin_s7", "euler_weak",
+     {"optimizer.kind": "hybrid", "optimizer.switch_epoch": 1_000_000,
+      "train.chunk": 250, "train.seed": 7}, 1_000_050),
 ]
 
 
