@@ -34,6 +34,24 @@ _BLOB_NAME = "model.shlo"
 _EXPORT_PLATFORMS = ("cpu", "tpu", "cuda")
 
 
+def _provenance(trainer) -> dict:
+    """Rollout-audit block baked into every artifact's meta.json: what
+    produced this model (full config snapshot), with what framework, where,
+    and when — so a served artifact is traceable without the training run's
+    logs. ``default=str`` at dump time keeps exotic config values JSON-safe."""
+    import dataclasses
+    import time
+
+    from pinns_tpu import __version__
+
+    return {
+        "framework": f"pinns_tpu {__version__}",
+        "exported_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "export_backend": str(jax.devices()[0]),
+        "config": dataclasses.asdict(trainer.exp),
+    }
+
+
 def export_predict(trainer, params=None, path: str = "exported_model") -> str:
     """Export the trainer's full prediction function (fields + residuals) as
     a serving artifact with the given params (default: freshly initialized —
@@ -68,9 +86,10 @@ def export_predict(trainer, params=None, path: str = "exported_model") -> str:
         "fields": sorted(probe.keys()),
         "input": {"shape": ["b", 2], "dtype": np.dtype(problem.spec.dtype).name},
         "pde": trainer.exp.pde.kind,
+        "provenance": _provenance(trainer),
     }
     with open(os.path.join(path, _META_NAME), "w") as f:
-        json.dump(meta, f, indent=1)
+        json.dump(meta, f, indent=1, default=str)
     return path
 
 
@@ -124,6 +143,7 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble",
         "input": {"shape": ["b", 2], "dtype": np.dtype(problem.spec.dtype).name},
         "pde": trainer.exp.pde.kind,
         "ensemble_members": int(n_members),
+        "provenance": _provenance(trainer),
     }
     if calibration:
         keep = ("k_conf95", "cov_conf95", "cov2s", "k95",
@@ -137,7 +157,7 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble",
             for f, row in calibration.items()
         }
     with open(os.path.join(path, _META_NAME), "w") as f:
-        json.dump(meta, f, indent=1)
+        json.dump(meta, f, indent=1, default=str)
     return path
 
 

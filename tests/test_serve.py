@@ -109,6 +109,11 @@ def test_export_ensemble_uq(tmp_path):
     served = load_exported(path)
     assert served.meta["ensemble_members"] == 3
     assert "u_std" in served.fields
+    # provenance: full config snapshot + framework version for rollout audit
+    prov = served.meta["provenance"]
+    assert prov["framework"].startswith("pinns_tpu ")
+    assert prov["config"]["model"]["layers"] == list(tr.exp.model.layers)
+    assert prov["exported_at"].endswith("Z")
     x = tr.problem.dataset.X_star[:41]
     got = served.predict(x)
     want = ensemble_predict(tr, stacked, x)
