@@ -7,5 +7,6 @@ from pinns_tpu.parallel.ensemble import (
     ensemble_predict,
     run_ensemble,
     calibration_stats,
+    mond_band_factors,
     uq_calibration,
 )

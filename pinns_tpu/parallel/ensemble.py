@@ -275,7 +275,10 @@ def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0)) -> dict:
     much — and the returned split-conformal ``k_conf95``/``cov_conf95``
     (see :func:`calibration_stats`) is the shipped fix. Returns
     {field: {'cov1s':..,'cov2s':..,'cov3s':..,'cov2s_shock':..,
-    'mean_std':..,'rmse':..,'k95':..,'k_conf95':..,'cov_conf95':..}}."""
+    'mean_std':..,'rmse':..,'k95':..,'k_conf95':..,'cov_conf95':..,
+    'mond_edges':[..],'mond_k':[..],'cov_mond95':..,'cov_mond95_shock':..}}
+    — the Mondrian std-binned factors hold coverage conditionally at
+    fronts (:func:`mond_band_factors` applies them per point)."""
     ds = trainer.problem.dataset
     preds = ensemble_predict(trainer, stacked, ds.X_star)
     out = {}
