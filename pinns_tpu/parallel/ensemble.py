@@ -264,7 +264,8 @@ def mond_band_factors(cal_row: dict, std, default: float = 2.0) -> np.ndarray:
     return np.asarray(mond_k, np.float64)[idx]
 
 
-def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0)) -> dict:
+def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0),
+                   n_bins: int = 4) -> dict:
     """Coverage calibration of the deep-ensemble uncertainty on the dense
     evaluation grid: per field, the fraction of grid points whose true error
     |mean - exact| falls within k*std for each k, plus the same 2-sigma
@@ -294,6 +295,7 @@ def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0)) -> dict:
         )
         out[name] = calibration_stats(
             ds.star[name], p["mean"], p["std"], grad_mag=grad_mag, ks=ks,
+            n_bins=n_bins,
         )
     return out
 
