@@ -97,8 +97,11 @@ def cpu_roundtrip(path, probe_x, tpu_preds, tag):
     def tol(field):
         # Residual diagnostics (f, f1..f3) are 2nd derivatives through the
         # tanh trunk — cross-backend last-ulp differences amplify there
-        # (measured ≤8.5e-3 TPU→CPU, PARITY §4n); primary fields and std
-        # bands agree to ≤1.5e-4.
+        # (measured ≤8.5e-3 TPU→CPU, PARITY §4n). Primary fields and std
+        # bands: ≤1.5e-4 on converged runs, up to 4.2e-4 on the toy
+        # 200-epoch cells (r3_uq_export.jsonl fixed_solo) — 1e-3 keeps
+        # ~2.4x headroom over the worst measured-good value while still
+        # catching a real parity regression.
         return 5e-2 if field.split("_")[0].startswith("f") else 1e-3
 
     emit({"tag": f"{tag}_cpu_roundtrip", "max_abs_diff": diffs,

@@ -169,17 +169,20 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
     ``cov_conf95_shock`` measures the same band's conditional coverage at
     the shock, which a single global quantile does NOT guarantee.
 
-    MONDRIAN (std-binned) conformal sharpens exactly that flank: the
-    calibration subset is split into ``n_bins`` quantile bins of the
-    PREDICTED std (available at serving time — no truth needed to pick a
-    point's bin), each bin gets its own conformal quantile, and
-    exchangeability then guarantees ~95% coverage PER BIN. Ensemble std
-    peaks at fronts (PARITY §4n), so the shock largely lands in the top
-    bin and inherits a near-marginal guarantee instead of riding the
-    global quantile. Returns ``mond_edges`` (bin edges over std),
-    ``mond_k`` (per-bin factors), ``cov_mond95`` and ``cov_mond95_shock``
-    (verified on the disjoint remainder). Bins with fewer than 20
-    calibration points fall back to the global ``k_conf95``."""
+    MONDRIAN (std-binned) conformal sharpens exactly that flank: points
+    are binned by quantiles of the PREDICTED std (available at serving
+    time — no truth needed to pick a point's bin) and each bin gets its
+    own conformal quantile. The bin edges are fit on one half of the
+    calibration subset and the per-bin quantiles on the OTHER half, so
+    the taxonomy is independent of the scores it calibrates and
+    exchangeability gives ~95% coverage per bin (up to the edges' own
+    sampling noise). Ensemble std peaks at fronts (PARITY §4n), so the
+    shock largely lands in the top bin and inherits a near-marginal
+    guarantee instead of riding the global quantile. Returns
+    ``mond_edges`` (bin edges over std), ``mond_k`` (per-bin factors),
+    ``cov_mond95`` and ``cov_mond95_shock`` (verified on the disjoint
+    remainder). Bins with fewer than 20 score-half points fall back to
+    the global ``k_conf95``."""
     exact = np.asarray(exact, np.float64)
     mean = np.asarray(mean, np.float64)
     std = np.asarray(std, np.float64)
@@ -224,13 +227,17 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
             row["cov_conf95_shock"] = float(np.mean(band_ok[rest_shock]))
     if n_bins > 1:
         s_all = std.ravel()
+        # taxonomy/scores split: edges from one half, per-bin quantiles
+        # from the other, so bin membership is independent of the scores
+        # it calibrates (the Mondrian exchangeability requirement)
+        cal_edges, cal_scores = cal[: m // 2], cal[m // 2:]
         edges = np.quantile(
-            s_all[cal], np.linspace(0.0, 1.0, n_bins + 1)[1:-1]
+            s_all[cal_edges], np.linspace(0.0, 1.0, n_bins + 1)[1:-1]
         )
         bin_of = np.searchsorted(edges, s_all, side="right")
         mond_k = []
         for b in range(n_bins):
-            sel = cal[bin_of[cal] == b]
+            sel = cal_scores[bin_of[cal_scores] == b]
             if sel.size >= 20:
                 lvl = min(1.0, np.ceil((sel.size + 1) * (1.0 - alpha))
                           / sel.size)

@@ -226,9 +226,12 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
                         (for ensemble artifacts that includes `{name}_std`).
                         With {"x": ..., "bands": true} on a calibrated
                         ensemble artifact, also returns `{name}_band`: the
-                        per-point calibrated 95% half-width
+                        per-point calibrated ~95% half-width
                         (band_ks(name, std) * std — Mondrian factors when
-                        baked, else the global k_conf95, else 2.0).
+                        baked, else the global k_conf95). Only fields with
+                        baked calibration get a band; an artifact exported
+                        without --calibrate gets a 400, never a silent
+                        2.0*std band.
 
     Returns the (unstarted) ThreadingHTTPServer; callers run
     ``server.serve_forever()`` (the CLI does) or drive it from a thread in
@@ -265,9 +268,20 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
                     raise ValueError(f"x must be (N, 2), got {x.shape}")
                 out = served.predict(x)
                 if req.get("bands"):
+                    # only fields with BAKED factors get a band: serving
+                    # 2.0*std as a "~95% band" would be silently ~10x
+                    # overconfident at fronts (PARITY 4n)
+                    cal = served.meta.get("calibration") or {}
+                    if not cal:
+                        raise ValueError(
+                            "artifact carries no calibration metadata; "
+                            "export with --calibrate to serve bands"
+                        )
                     for k in list(out):
                         if k.endswith("_std"):
                             name = k[: -len("_std")]
+                            if name not in cal:
+                                continue
                             ks = served.band_ks(name, out[k])
                             out[f"{name}_band"] = ks * np.asarray(
                                 out[k], np.float64

@@ -127,7 +127,13 @@ def plot_uncertainty(
             from pinns_tpu.parallel.ensemble import mond_band_factors
 
             k_grid = mond_band_factors(cal_row, std, default=band_k)
-            band_label = "$\\pm k_{95}(\\sigma)\\,\\sigma$"
+            # label what is actually drawn: per-point Mondrian factors
+            # only when the row carries them, else the constant k_conf95
+            band_label = (
+                "$\\pm k_{95}(\\sigma)\\,\\sigma$" if cal_row.get("mond_k")
+                else f"$\\pm {float(cal_row.get('k_conf95', band_k)):.1f}"
+                "\\sigma$"
+            )
         ax = axes[row][0]
         h = ax.imshow(
             std.T,

@@ -269,6 +269,28 @@ def test_http_predict_serves_calibrated_bands(tmp_path):
     finally:
         server.shutdown()
 
+    # bands on an UNCALIBRATED artifact must 400, never silently serve
+    # 2.0*std (measured ~10x overconfident at fronts) as a "95% band"
+    path2 = export_ensemble(tr, stacked.params, str(tmp_path / "ens_nocal"))
+    server2 = make_http_server(path2, port=0)
+    host2, port2 = server2.server_address[:2]
+    threading.Thread(target=server2.serve_forever, daemon=True).start()
+    try:
+        x = np.asarray(tr.problem.dataset.X_star[:3], np.float32)
+        req3 = urllib.request.Request(
+            f"http://{host2}:{port2}/predict",
+            data=_json.dumps({"x": x.tolist(), "bands": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req3, timeout=120)
+            raise AssertionError("bands on uncalibrated artifact must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "calibrate" in _json.loads(e.read())["error"]
+    finally:
+        server2.shutdown()
+
 
 def test_cli_export_ensemble_calibrated(tmp_path, capsys):
     """`export` with every member checkpoint + --calibrate builds one
