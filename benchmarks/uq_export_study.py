@@ -144,7 +144,8 @@ def run_case(tag):
     cpu_roundtrip(solo_path, probe_x, solo_preds, f"{tag}_solo")
 
     ens_path = export_ensemble(tr, stacked.params,
-                               os.path.join(ART, f"{tag}_ens"))
+                               os.path.join(ART, f"{tag}_ens"),
+                               calibration=cal)
     ens_tpu = ensemble_predict(tr, stacked, probe_x)
     flat = {}
     for fname, p in ens_tpu.items():  # artifact fields: {name}=mean, {name}_std
