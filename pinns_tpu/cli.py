@@ -279,6 +279,62 @@ def cmd_serve(args):
     return 0
 
 
+def cmd_predict(args):
+    """Batch offline inference from a serving artifact — the bulk twin of
+    the HTTP service (same artifact, same fields, same calibrated-band
+    policy): points in from .npz/'x' or a 2-column CSV, predictions out to
+    .npz or .csv. Needs no Experiment config or checkpoint."""
+    if args.backend:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", args.backend)
+        except RuntimeError:
+            pass
+    import numpy as np
+
+    from pinns_tpu.serve import load_exported
+
+    served = load_exported(args.artifact)
+    if args.points.endswith(".npz"):
+        x = np.load(args.points)["x"]
+    else:
+        with open(args.points) as f:
+            first = f.readline()
+        x = np.loadtxt(
+            args.points, delimiter="," if "," in first else None,
+            skiprows=1 if any(c.isalpha() for c in first) else 0,
+        )
+    x = np.atleast_2d(np.asarray(x, np.float32))
+    out = served.predict(x)
+    if args.bands:
+        cal = served.meta.get("calibration") or {}
+        if not cal:  # same policy as the HTTP service: no silent 2*std
+            raise SystemExit(
+                "artifact carries no calibration metadata; export with "
+                "--calibrate to emit bands"
+            )
+        for k in list(out):
+            if k.endswith("_std"):
+                name = k[: -len("_std")]
+                if name in cal:
+                    out[f"{name}_band"] = served.band_ks(
+                        name, out[k]
+                    ) * np.asarray(out[k], np.float64)
+    if args.out.endswith(".npz"):
+        np.savez(args.out, x=x,
+                 **{k: np.asarray(v, np.float32) for k, v in out.items()})
+    else:
+        names = sorted(out)
+        cols = [x[:, 0], x[:, 1]] + [
+            np.asarray(out[k], np.float32).ravel() for k in names
+        ]
+        np.savetxt(args.out, np.column_stack(cols), delimiter=",",
+                   header="x,t," + ",".join(names), comments="")
+    print(args.out)
+    return 0
+
+
 def cmd_plot(args):
     from pinns_tpu.train import Trainer
     from pinns_tpu.viz.plots import plot_from_snapshots, plot_solution
@@ -509,6 +565,29 @@ def main(argv=None):
         "artifact's meta.json",
     )
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "predict",
+        help="batch offline inference from a serving artifact: points in "
+        "(.npz with 'x', or a 2-column CSV), predictions out (.npz/.csv); "
+        "--bands adds calibrated half-widths on calibrated ensembles",
+    )
+    p.add_argument("--artifact", required=True, help="exported artifact dir")
+    p.add_argument(
+        "--points", required=True,
+        help=".npz with an 'x' array of shape (N, 2), or a CSV/whitespace "
+        "table of (x, t) rows (a header line is skipped)",
+    )
+    p.add_argument("--out", default="predictions.npz",
+                   help="output path; .npz or anything else as CSV")
+    p.add_argument(
+        "--bands", action="store_true",
+        help="also emit {field}_band calibrated ~95 percent half-widths "
+        "(requires an ensemble artifact exported with --calibrate)",
+    )
+    p.add_argument("--backend", default="",
+                   help="jax platform (e.g. 'cpu'); empty = default backend")
+    p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser(
         "serve",

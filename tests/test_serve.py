@@ -292,6 +292,68 @@ def test_http_predict_serves_calibrated_bands(tmp_path):
         server2.shutdown()
 
 
+def test_cli_predict_batch_inference(tmp_path, capsys):
+    """`predict` runs bulk offline inference from an artifact alone: npz
+    points in -> npz fields out matching ServedModel.predict; CSV round-trip
+    works; --bands on an uncalibrated artifact exits with the calibrate
+    diagnostic (same policy as the HTTP service)."""
+    import pytest as _pytest
+
+    from pinns_tpu.cli import main as cli_main
+    from pinns_tpu.parallel.ensemble import init_ensemble_states, uq_calibration
+    from pinns_tpu.serve import export_ensemble
+
+    tr, _ = _trained("abgrall_l2")
+    stacked = init_ensemble_states(tr, seeds=[0, 1])
+    x = np.asarray(tr.problem.dataset.X_star[:17], np.float32)
+    np.savez(str(tmp_path / "pts.npz"), x=x)
+
+    # calibrated artifact: npz out with bands
+    cal_path = export_ensemble(tr, stacked.params, str(tmp_path / "ens_cal"),
+                               calibration=uq_calibration(tr, stacked))
+    rc = cli_main([
+        "predict", "--artifact", cal_path,
+        "--points", str(tmp_path / "pts.npz"),
+        "--out", str(tmp_path / "preds.npz"), "--bands",
+    ])
+    assert rc == 0
+    got = np.load(str(tmp_path / "preds.npz"))
+    served = load_exported(cal_path)
+    want = served.predict(x)
+    np.testing.assert_allclose(got["u"], want["u"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        got["u_band"],
+        served.band_ks("u", want["u_std"]) * want["u_std"].astype(np.float64),
+        rtol=1e-5, atol=1e-7,
+    )
+
+    # CSV points in, CSV out (header skipped on input, written on output)
+    np.savetxt(str(tmp_path / "pts.csv"), x, delimiter=",", header="x,t",
+               comments="")
+    rc = cli_main([
+        "predict", "--artifact", cal_path,
+        "--points", str(tmp_path / "pts.csv"),
+        "--out", str(tmp_path / "preds.csv"),
+    ])
+    assert rc == 0
+    rows = np.loadtxt(str(tmp_path / "preds.csv"), delimiter=",", skiprows=1)
+    header = open(str(tmp_path / "preds.csv")).readline().strip().split(",")
+    u_col = header.index("u")
+    np.testing.assert_allclose(rows[:, u_col], want["u"].ravel(),
+                               rtol=1e-5, atol=1e-6)
+
+    # --bands without calibration: loud failure, not a silent 2*std band
+    nocal_path = export_ensemble(tr, stacked.params,
+                                 str(tmp_path / "ens_nocal"))
+    capsys.readouterr()
+    with _pytest.raises(SystemExit, match="calibrate"):
+        cli_main([
+            "predict", "--artifact", nocal_path,
+            "--points", str(tmp_path / "pts.npz"),
+            "--out", str(tmp_path / "p2.npz"), "--bands",
+        ])
+
+
 def test_cli_export_ensemble_calibrated(tmp_path, capsys):
     """`export` with every member checkpoint + --calibrate builds one
     mean+std artifact whose meta carries the conformal band factors —
