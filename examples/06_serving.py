@@ -25,6 +25,7 @@ CLI equivalents:
     python -m pinns_tpu export --preset burgers_forward --checkpoint C --out D
     python -m pinns_tpu serve --artifact D --port 8080
     curl -X POST -d '{"x": [[0.5, 0.3]]}' http://127.0.0.1:8080/predict
+    python -m pinns_tpu predict --artifact D --points pts.npz --out preds.npz
 """
 
 import json
