@@ -225,7 +225,7 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
         rest_shock &= shock_mask
         if rest_shock.any():
             row["cov_conf95_shock"] = float(np.mean(band_ok[rest_shock]))
-    if n_bins > 1:
+    if n_bins > 1 and m >= 2:
         s_all = std.ravel()
         # taxonomy/scores split: edges from one half, per-bin quantiles
         # from the other, so bin membership is independent of the scores

@@ -333,6 +333,11 @@ def test_mondrian_conformal_fixes_conditional_coverage():
     assert row["cov_mond95_shock"] >= 0.90    # Mondrian restores it
     assert 0.92 <= row["cov_mond95"] <= 0.98
 
+    # degenerate tiny input: too few calibration points to split for the
+    # edge/score halves — Mondrian keys are simply absent, nothing raises
+    tiny = calibration_stats(exact[:6], mean[:6], std[:6])
+    assert "mond_k" not in tiny and tiny["k_conf95"] > 0.0
+
 
 def test_uq_calibration_reports_conformal_keys():
     from pinns_tpu.parallel.ensemble import run_ensemble, uq_calibration
