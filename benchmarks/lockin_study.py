@@ -61,6 +61,15 @@ RUNS = [
     ("eu_1m_lockin_s7", "euler_weak",
      {"optimizer.kind": "hybrid", "optimizer.switch_epoch": 1_000_000,
       "train.chunk": 250, "train.seed": 7}, 1_000_050),
+    ("eu_1m_lockin_s99", "euler_weak",
+     {"optimizer.kind": "hybrid", "optimizer.switch_epoch": 1_000_000,
+      "train.chunk": 250, "train.seed": 99}, 1_000_050),
+    # Adam-only seed controls for the 1M tail attribution (seed 1234's
+    # control is the canonical .0205/.0544/.0162 envelope run)
+    ("eu_1m_adam_s7", "euler_weak",
+     {"train.chunk": 250, "train.seed": 7}, 1_000_000),
+    ("eu_1m_adam_s99", "euler_weak",
+     {"train.chunk": 250, "train.seed": 99}, 1_000_000),
 ]
 
 
