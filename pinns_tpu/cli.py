@@ -88,9 +88,26 @@ def cmd_train(args):
 
             mesh = make_mesh(data=args.mesh_data, ensemble=args.ensemble)
         seeds = [exp.train.seed + i for i in range(args.ensemble)]
-        _, summaries = run_ensemble(trainer, seeds, mesh=mesh)
+        stacked, summaries = run_ensemble(trainer, seeds, mesh=mesh)
         for seed, summary in zip(seeds, summaries):
             print(json.dumps(dict(summary, seed=seed)))
+        if args.select:
+            # ground-truth-free pick-best (PARITY §4p): training-data misfit
+            # + fresh-batch residual of the trained objective, per member —
+            # the deployment answer to seed spread / flaky hybrid tails
+            from pinns_tpu.parallel.ensemble import (
+                select_member,
+                selection_scores,
+            )
+
+            scores = selection_scores(trainer, stacked, len(seeds))
+            pick = select_member(scores)
+            print(json.dumps({
+                "selected_member": pick,
+                "seed": seeds[pick],
+                "checkpoint": f"{exp.name}_final_m{pick}.ckpt",
+                "scores": scores,
+            }))
         return 0
 
     state = None
@@ -514,6 +531,11 @@ def main(argv=None):
     p.add_argument("--mesh-data", type=int, default=1,
                    help="shard the collocation axis over this many devices")
     p.add_argument("--ensemble", type=int, default=1)
+    p.add_argument("--select", action="store_true",
+                   help="after an --ensemble run, score members WITHOUT "
+                   "ground truth (training-data misfit + fresh-batch "
+                   "residual) and report the best member + its checkpoint "
+                   "(measured selector quality: PARITY.md §4p)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("sweep", help="hyperparameter sweep")

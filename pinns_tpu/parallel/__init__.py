@@ -5,6 +5,8 @@ from pinns_tpu.parallel.ensemble import (
     make_ensemble_chunk,
     evaluate_ensemble,
     ensemble_predict,
+    selection_scores,
+    select_member,
     run_ensemble,
     calibration_stats,
     mond_band_factors,

@@ -127,6 +127,80 @@ def evaluate_ensemble(trainer, stacked: TrainState, n: int) -> List[dict]:
     return [trainer.evaluate(s) for s in unstack_states(stacked, n)]
 
 
+def selection_scores(
+    trainer,
+    stacked: TrainState,
+    n: int,
+    seed: int = 0,
+    n_points: int = 4096,
+) -> List[dict]:
+    """Ground-truth-FREE per-member model-selection scores.
+
+    Hybrid/L-BFGS tails are seed-flaky on the shock recipes (PARITY §4o:
+    1-in-3 seeds improved solo), so the shipped workflow is
+    ensemble-then-pick-best — but rel-L2 needs the exact solution a
+    deployment does not have. This scores every member with quantities the
+    run already owns, in ONE vmapped jitted call:
+
+    - ``data_term``: the member's misfit on the TRAINING data (the IC/BC or
+      interior labels it trained on — :func:`make_data_term`, so the scored
+      misfit is exactly the trained one, per-field weights included);
+    - ``resid_ms``: mean-square of the member's TRAINED residual field
+      (``Problem.training_residuals`` — weak-form cells when the recipe is
+      weak-form) at one fresh uniform collocation batch shared by all
+      members, so members are compared on identical points none has seen;
+    - ``score``: ``data_weight * data_term + resid_ms`` — the training
+      objective with the ADMM/penalty machinery replaced by the plain
+      mean-square residual (z/dual state is per-member optimizer state, not
+      a comparable quality signal).
+
+    Returns one dict per member. Measured selector quality (rank
+    correlation vs oracle rel-L2 and the regret of the argmin member on the
+    shipped shock recipes): PARITY §4p.
+    """
+    from pinns_tpu.data.sampling import uniform_box
+    from pinns_tpu.train.trainer import make_data_term
+
+    problem = trainer.problem
+    spec = problem.spec
+    pts = uniform_box(
+        jax.random.PRNGKey(seed),
+        n_points,
+        jnp.asarray(problem.lb, spec.dtype),
+        jnp.asarray(problem.ub, spec.dtype),
+        spec.dtype,
+    )
+    dterm = make_data_term(problem)
+    w = float(problem.exp.loss.data_weight)
+
+    def one(params):
+        d = dterm(params).astype(jnp.float32)
+        res = jax.tree_util.tree_leaves(
+            problem.training_residuals(params, pts)
+        )
+        ms = sum(
+            jnp.mean(jnp.square(f.astype(jnp.float32))) for f in res
+        ) / len(res)
+        return d, ms
+
+    d, ms = jax.jit(jax.vmap(one))(stacked.params)
+    d, ms = np.asarray(d), np.asarray(ms)
+    return [
+        {
+            "member": i,
+            "data_term": float(d[i]),
+            "resid_ms": float(ms[i]),
+            "score": float(w * d[i] + ms[i]),
+        }
+        for i in range(n)
+    ]
+
+
+def select_member(scores: Sequence[dict], by: str = "score") -> int:
+    """Index of the best member under a :func:`selection_scores` key."""
+    return int(min(range(len(scores)), key=lambda i: scores[i][by]))
+
+
 def ensemble_predict(trainer, stacked: TrainState, x) -> dict:
     """Deep-ensemble prediction (Lakshminarayanan et al. 2017): one vmapped
     forward over the member axis, returning per-field ``mean`` and ``std``

@@ -541,6 +541,44 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     return term
 
 
+def make_data_term(problem: Problem):
+    """The data-misfit term of the training loss as a standalone
+    ``params -> scalar`` callable — shared by the loss and by
+    ground-truth-free model selection
+    (:func:`pinns_tpu.parallel.ensemble.selection_scores`), so the selector
+    scores exactly the misfit the members trained on."""
+    exp = problem.exp
+    spec = problem.spec
+    n_u = exp.data.n_u
+    loss_cfg = exp.loss
+    field_w = loss_cfg.data_field_weights
+
+    if exp.pde.kind == "burgers":
+
+        def term(params):
+            u_pred = mlp_apply(spec, params["net"], problem.x_data)
+            return data_misfit(
+                u_pred, problem.targets["u"], loss_cfg.data_kind, n_u
+            )
+
+    else:
+
+        def term(params):
+            y = mlp_apply(spec, params["net"], problem.x_data)
+            return sum(
+                (field_w[i] if field_w else 1.0)
+                * data_misfit(
+                    y[:, i : i + 1],
+                    problem.targets[name],
+                    loss_cfg.data_kind,
+                    n_u,
+                )
+                for i, name in enumerate(EULER_FIELDS)
+            )
+
+    return term
+
+
 def make_loss_fn(problem: Problem):
     """loss(params, colloc, admm) -> (scalar, aux-metrics dict)."""
     exp = problem.exp
@@ -566,27 +604,15 @@ def make_loss_fn(problem: Problem):
             f"got {len(field_w)}"
         )
 
+    dterm = make_data_term(problem)
+
     def loss_fn(params, colloc, admm_state, rho=None):
         if exp.pde.kind == "burgers":
             lam1, lam2 = problem.effective_coeffs(params)
-            u_pred = mlp_apply(spec, params["net"], problem.x_data)
-            data_term = data_misfit(
-                u_pred, problem.targets["u"], loss_cfg.data_kind, n_u
-            )
         else:
             lam1 = jnp.zeros((1,), spec.dtype)
             lam2 = jnp.zeros((1,), spec.dtype)
-            y = mlp_apply(spec, params["net"], problem.x_data)
-            data_term = sum(
-                (field_w[i] if field_w else 1.0)
-                * data_misfit(
-                    y[:, i : i + 1],
-                    problem.targets[name],
-                    loss_cfg.data_kind,
-                    n_u,
-                )
-                for i, name in enumerate(EULER_FIELDS)
-            )
+        data_term = dterm(params)
 
         res_term = _residual_term(problem, params, colloc, admm_state, rho)
         loss = loss_cfg.data_weight * data_term + (

@@ -65,6 +65,24 @@ def test_cli_train_eval_plot_animate(tmp_path, capsys):
     assert os.path.exists(anim)
 
 
+def test_cli_train_ensemble_select(tmp_path, capsys):
+    """--ensemble E --select emits a ground-truth-free pick with a real
+    member checkpoint path."""
+    out_dir = str(tmp_path)
+    rc = cli_main(
+        ["train", "--preset", "abgrall_l2", *SMALL,
+         "--epochs", "60", "--out-dir", out_dir,
+         "--ensemble", "2", "--select"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    pick = json.loads(lines[-1])
+    assert pick["selected_member"] in (0, 1)
+    assert len(pick["scores"]) == 2
+    assert all(np.isfinite(s["score"]) for s in pick["scores"])
+    assert os.path.exists(os.path.join(out_dir, pick["checkpoint"]))
+
+
 def test_cli_sweep(tmp_path, capsys):
     out = os.path.join(str(tmp_path), "sweep.jsonl")
     rc = cli_main(

@@ -103,6 +103,49 @@ def test_ensemble_training_matches_individual():
     assert all(np.isfinite(s["rel_l2_u"]) for s in summaries)
 
 
+@pytest.mark.parametrize("preset", ["abgrall_admm", "twosin_weak"])
+def test_selection_scores_rank_without_ground_truth(preset):
+    """The ground-truth-free selector (data misfit + fresh-batch residual)
+    must rank an intact trained member above a noise-sabotaged copy, in
+    agreement with the oracle rel-L2 — on both the strong-form ADMM recipe
+    and the weak-form flux recipe (training_residuals dispatches on the
+    trained objective)."""
+    from pinns_tpu.parallel.ensemble import select_member, selection_scores
+
+    tr = Trainer(
+        override(
+            get_preset(preset),
+            {
+                "model.layers": (2, 16, 16, 1),
+                "train.epochs": 100,
+                "train.chunk": 50,
+                "sampling.n_f": 256,
+            },
+        )
+    )
+    stacked = init_ensemble_states(tr, [0, 1])
+    stacked, _ = make_ensemble_chunk(tr, 60)(stacked)
+
+    # sabotage member 1 with heavy parameter noise -> strictly worse model
+    def perturb(leaf):
+        key = jax.random.PRNGKey(leaf.size % 101)
+        return leaf + 0.5 * jax.random.normal(key, leaf.shape, leaf.dtype)
+
+    member1 = jax.tree_util.tree_map(lambda x: perturb(x[1]), stacked.params)
+    params = jax.tree_util.tree_map(
+        lambda s, m: s.at[1].set(m), stacked.params, member1
+    )
+    stacked = stacked._replace(params=params)
+
+    scores = selection_scores(tr, stacked, 2, n_points=512)
+    assert select_member(scores) == 0
+    assert scores[0]["resid_ms"] < scores[1]["resid_ms"]
+    assert scores[0]["data_term"] < scores[1]["data_term"]
+
+    oracle = evaluate_ensemble(tr, stacked, 2)
+    assert oracle[0]["rel_l2_u"] < oracle[1]["rel_l2_u"]
+
+
 def test_ensemble_sharded_over_mesh():
     tr = Trainer(_exp(**{"sampling.n_f": 256}))
     mesh = make_mesh(data=2, ensemble=4)
