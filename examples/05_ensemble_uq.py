@@ -47,6 +47,20 @@ for i, s in enumerate(summaries):
         f"  swa {s['swa_rel_l2_u']:.3e}"
     )
 
+# Deployment pick-best WITHOUT the exact solution: training-data misfit +
+# fresh-batch residual per member (selection_scores; measured selector
+# quality vs the oracle in PARITY 4p). The CLI twin is
+# `train --ensemble E --select`.
+from pinns_tpu.parallel.ensemble import select_member, selection_scores
+
+scores = selection_scores(trainer, stacked, len(seeds))
+pick = select_member(scores)
+print(
+    f"selected member (no ground truth): {pick} "
+    f"(score {scores[pick]['score']:.3e}); its oracle rel-L2: "
+    f"{summaries[pick]['rel_l2_u']:.3e}"
+)
+
 ds = trainer.problem.dataset
 out = ensemble_predict(trainer, stacked, ds.X_star)
 mean_err = relative_l2(out["u"]["mean"], ds.star["u"])
