@@ -88,7 +88,28 @@ def cmd_train(args):
 
             mesh = make_mesh(data=args.mesh_data, ensemble=args.ensemble)
         seeds = [exp.train.seed + i for i in range(args.ensemble)]
-        stacked, summaries = run_ensemble(trainer, seeds, mesh=mesh)
+        stacked0 = None
+        if args.resume:
+            # resume a crashed ensemble from its per-member checkpoints:
+            # --resume is the PREFIX (e.g. out/<name>_e50000) of the
+            # <prefix>_m<i>.ckpt files train.checkpoint_every wrote
+            import os
+
+            from pinns_tpu.parallel.ensemble import stack_states
+
+            members = []
+            for i in range(args.ensemble):
+                path = f"{args.resume}_m{i}.ckpt"
+                if not os.path.exists(path):
+                    raise SystemExit(
+                        f"ensemble resume: missing member checkpoint {path} "
+                        f"(--resume takes the prefix of the _m<i>.ckpt set)"
+                    )
+                members.append(trainer.load_checkpoint(path))
+            stacked0 = stack_states(members)
+        stacked, summaries = run_ensemble(
+            trainer, seeds, mesh=mesh, stacked=stacked0
+        )
         for seed, summary in zip(seeds, summaries):
             print(json.dumps(dict(summary, seed=seed)))
         if args.select:
@@ -527,7 +548,9 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="train a preset")
     add_common(p)
-    p.add_argument("--resume", default=None, help="checkpoint to resume from")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint to resume from; with --ensemble E, the "
+                   "PREFIX of the per-member set (<prefix>_m<i>.ckpt)")
     p.add_argument("--mesh-data", type=int, default=1,
                    help="shard the collocation axis over this many devices")
     p.add_argument("--ensemble", type=int, default=1)

@@ -4,6 +4,8 @@ from pinns_tpu.parallel.ensemble import (
     init_ensemble_states,
     make_ensemble_chunk,
     evaluate_ensemble,
+    stack_states,
+    unstack_states,
     ensemble_predict,
     selection_scores,
     select_member,

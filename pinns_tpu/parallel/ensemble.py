@@ -122,6 +122,16 @@ def unstack_states(stacked: TrainState, n: int) -> List[TrainState]:
     ]
 
 
+def stack_states(states: Sequence[TrainState]) -> TrainState:
+    """Inverse of :func:`unstack_states`: member TrainStates -> one stacked
+    state. With per-member checkpoints (``<name>_e{epoch}_m{i}.ckpt``,
+    written every ``train.checkpoint_every``), this resumes a crashed
+    multi-hour ensemble run: load each member with
+    ``Trainer.load_checkpoint``, stack, and pass as ``run_ensemble``'s
+    ``stacked=`` — training continues from the stacked epoch."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
 def evaluate_ensemble(trainer, stacked: TrainState, n: int) -> List[dict]:
     """Per-member final evaluation (rel-L2 per field), host side."""
     return [trainer.evaluate(s) for s in unstack_states(stacked, n)]

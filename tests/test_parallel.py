@@ -103,6 +103,44 @@ def test_ensemble_training_matches_individual():
     assert all(np.isfinite(s["rel_l2_u"]) for s in summaries)
 
 
+def test_ensemble_resume_from_member_checkpoints(tmp_path):
+    """A crashed ensemble resumes exactly: stacking the per-member
+    checkpoints written mid-run and continuing reproduces the
+    uninterrupted run's final parameters."""
+    from pinns_tpu.parallel.ensemble import run_ensemble, stack_states
+
+    def make_trainer():
+        return Trainer(_exp(**{
+            "sampling.n_f": 256,
+            "train.epochs": 100,
+            "train.chunk": 50,
+            "train.checkpoint_every": 50,
+            "train.out_dir": str(tmp_path),
+            "train.log_every": 0,
+        }))
+
+    tr = make_trainer()
+    full, _ = run_ensemble(tr, [0, 1])
+
+    # fresh trainer (fresh logger), resume from the epoch-50 checkpoints
+    tr2 = make_trainer()
+    members = [
+        tr2.load_checkpoint(str(tmp_path / f"abgrall_admm_e50_m{i}.ckpt"))
+        for i in range(2)
+    ]
+    stacked0 = stack_states(members)
+    assert int(np.asarray(stacked0.epoch).flat[0]) == 50
+    resumed, _ = run_ensemble(tr2, [0, 1], stacked=stacked0)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        full.params,
+        resumed.params,
+    )
+
+
 @pytest.mark.parametrize("preset", ["abgrall_admm", "twosin_weak"])
 def test_selection_scores_rank_without_ground_truth(preset):
     """The ground-truth-free selector (data misfit + fresh-batch residual)
