@@ -37,8 +37,8 @@ BENCH_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
 # On failure we back off and retry — transient relay outages have lasted
 # minutes-to-hours here — until the budget runs out, then emit a fallback
 # JSON line citing the last successful capture instead of dying silently.
-PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
-PROBE_BUDGET_S = int(os.environ.get("BENCH_PROBE_BUDGET_S", "1800"))
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "600"))
+PROBE_BUDGET_S = int(os.environ.get("BENCH_PROBE_BUDGET_S", "2400"))
 _CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CACHE.json")
 
 _PROBE_SRC = """
@@ -55,23 +55,41 @@ print("PROBE_OK", jax.devices()[0])
 
 
 def _probe_backend_once():
-    """True iff a fresh subprocess can init the backend and jit a tiny grad."""
+    """True iff a fresh subprocess can init the backend and jit a tiny grad.
+
+    Timeout calibration (measured 2026-08-19): a healthy relay answers in
+    ~13 s, but right after another session exits the claim leg has measured
+    105-300+ s — 240 s false-negatived on a relay that later served fine,
+    so the default is 600 s. On timeout the child gets SIGTERM + a 10 s
+    grace before SIGKILL: killing the axon client hard can leave its
+    relay-side grant dangling, which is exactly what slows the NEXT dial.
+    """
+    p = subprocess.Popen(
+        [sys.executable, "-c", _PROBE_SRC],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", _PROBE_SRC],
-            timeout=PROBE_TIMEOUT_S,
-            capture_output=True,
-            text=True,
-        )
-        return r.returncode == 0 and "PROBE_OK" in r.stdout
+        out, _ = p.communicate(timeout=PROBE_TIMEOUT_S)
+        return p.returncode == 0 and "PROBE_OK" in out
     except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            p.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
         return False
 
 
 def _probe_with_retries():
     """Probe until success or PROBE_BUDGET_S is exhausted. Returns bool."""
     deadline = time.time() + PROBE_BUDGET_S
-    delay = 60.0
+    # first backoff is long on purpose: a failed probe usually means the
+    # relay is mid-claim-churn, and re-dialing immediately adds another
+    # session to the pile-up (measured cascade, 2026-08-19).
+    delay = 120.0
     attempt = 1
     while True:
         t0 = time.time()
