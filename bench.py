@@ -54,33 +54,43 @@ print("PROBE_OK", jax.devices()[0])
 """
 
 
-def _probe_backend_once():
-    """True iff a fresh subprocess can init the backend and jit a tiny grad.
+def _probe_backend_once(timeout_s):
+    """(ok, diag) — ok iff a fresh subprocess can init the backend and jit a
+    tiny grad; diag carries the stderr tail of a fast failure for the log.
 
     Timeout calibration (measured 2026-08-19): a healthy relay answers in
     ~13 s, but right after another session exits the claim leg has measured
     105-300+ s — 240 s false-negatived on a relay that later served fine,
-    so the default is 600 s. On timeout the child gets SIGTERM + a 10 s
-    grace before SIGKILL: killing the axon client hard can leave its
-    relay-side grant dangling, which is exactly what slows the NEXT dial.
+    so the default is 600 s (clipped by the caller to the remaining retry
+    budget). On timeout the child gets SIGTERM + a 10 s grace before
+    SIGKILL: killing the axon client hard can leave its relay-side grant
+    dangling, which is exactly what slows the NEXT dial.
     """
     p = subprocess.Popen(
         [sys.executable, "-c", _PROBE_SRC],
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
         text=True,
     )
     try:
-        out, _ = p.communicate(timeout=PROBE_TIMEOUT_S)
-        return p.returncode == 0 and "PROBE_OK" in out
+        out, err = p.communicate(timeout=timeout_s)
+        if p.returncode == 0 and "PROBE_OK" in out:
+            return True, ""
+        tail = (err or "").strip().splitlines()[-3:]
+        return False, f"rc={p.returncode} stderr: " + " | ".join(tail)
     except subprocess.TimeoutExpired:
         p.terminate()
         try:
             p.communicate(timeout=10)
         except subprocess.TimeoutExpired:
             p.kill()
-            p.communicate()
-        return False
+            # bounded: a grandchild holding the inherited pipe open must not
+            # hang us past the SIGKILL (p.wait has no pipe-EOF dependency)
+            try:
+                p.communicate(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.wait()
+        return False, f"timeout after {timeout_s:.0f}s"
 
 
 def _probe_with_retries():
@@ -93,13 +103,22 @@ def _probe_with_retries():
     attempt = 1
     while True:
         t0 = time.time()
-        if _probe_backend_once():
+        # clip the attempt to the remaining budget (+ a grace margin so a
+        # borderline-healthy relay can still answer the final attempt):
+        # without this, an attempt started with seconds of budget left
+        # would block the full PROBE_TIMEOUT_S past the deadline.
+        attempt_timeout = min(
+            PROBE_TIMEOUT_S, max(30.0, deadline + 60.0 - time.time())
+        )
+        ok, diag = _probe_backend_once(attempt_timeout)
+        if ok:
             print(f"bench.py: relay probe ok (attempt {attempt})", file=sys.stderr)
             return True
         left = deadline - time.time()
         print(
             f"bench.py: relay probe failed (attempt {attempt}, "
-            f"{time.time() - t0:.0f}s); {left:.0f}s of retry budget left",
+            f"{time.time() - t0:.0f}s, {diag}); "
+            f"{left:.0f}s of retry budget left",
             file=sys.stderr,
         )
         if left <= delay:
