@@ -201,7 +201,12 @@ class LossConfig:
     # cannot distinguish. Burgers: mean(relu(U_t + F_x)^2) for the entropy
     # pair U = u^2/2, F = lambda1 u^3/3. Euler: mean(relu(-(S_t + u S_x))^2)
     # for the physical entropy S = log p - gamma log rho (entropy along
-    # particle paths must not decrease).
+    # particle paths must not decrease). When the effective viscosity can be
+    # nonzero (pde.lambda2 != 0, 'exp' transform, or trainable coeffs), the
+    # balance is viscosity-corrected — strong form relu(u f - lambda2 u_x^2),
+    # weak form carries the viscous entropy flux on the side edges — so exact
+    # viscous solutions incur NO penalty (tests/test_entropy_viscous.py);
+    # the naive inviscid form would penalize correct smooth behavior there.
     entropy_weight: float = 0.0
     explicit_inner: bool = False  # Hwan ADMM's dual^T r term
     # Where the ADMM z/dual updates evaluate residuals (SURVEY.md hard part

@@ -137,9 +137,32 @@ def burgers_flux_residual(
         ent_g = (lambda1 / 3.0) * (
             u_rig * u_rig * u_rig - u_lef * u_lef * u_lef
         )
+        if viscous:
+            # Viscous entropy flux: exact solutions satisfy
+            # U_t + (G - lambda2 u u_x)_x = -lambda2 u_x^2 <= 0, so the
+            # admissibility test must carry -lambda2 u u_x on the side
+            # edges or it penalizes correct smooth viscous behavior
+            # (tests/test_entropy_viscous.py).
+            ent_g = ent_g - lambda2 * (
+                u_rig * ux[:, 3 * q : 4 * q] - u_lef * ux[:, 2 * q : 3 * q]
+            )
         e = (hxe * _quad(ent_u, w) + hte * _quad(ent_g, w)) / measure
         ent = jnp.maximum(e, 0.0) ** 2
     return r, ent
+
+
+def _euler_entropy_x(y, y_x, gamma, eps: float = 1e-3):
+    """d(eta)/dx along an edge from primitive fields and their x-derivatives
+    (chain rule: eta_U U_x = eta_x for the state-function entropy eta)."""
+    rho, u, e = y[..., 0:1], y[..., 1:2], y[..., 2:3]
+    rho_x, u_x, e_x = y_x[..., 0:1], y_x[..., 1:2], y_x[..., 2:3]
+    p = (gamma - 1.0) * (e - 0.5 * rho * u * u)
+    p_safe = jnp.maximum(p, eps)
+    rho_safe = jnp.maximum(rho, eps)
+    p_x = (gamma - 1.0) * (e_x - 0.5 * u * u * rho_x - rho * u * u_x)
+    s = jnp.log(p_safe) - gamma * jnp.log(rho_safe)
+    s_x = p_x / p_safe - gamma * rho_x / rho_safe
+    return -(rho_x * s + rho * s_x) / (gamma - 1.0)
 
 
 def _euler_conserved_flux(y, gamma, eps: float = 1e-3):
@@ -217,6 +240,16 @@ def euler_flux_residuals(
     if want_entropy:
         d_eta = eta[:, q : 2 * q] - eta[:, 0:q]
         d_ef = etaflux[:, 3 * q : 4 * q] - etaflux[:, 2 * q : 3 * q]
+        if viscous:
+            # Viscous entropy flux -visc * eta_x (eta_U U_x = eta_x by the
+            # chain rule): exact solutions of the modified system satisfy
+            # eta_t + (q_flux - visc eta_x)_x = -visc U_x^T eta_UU U_x <= 0
+            # by convexity of eta, so the admissibility test must carry it
+            # on the side edges (tests/test_entropy_viscous.py).
+            eta_x = _euler_entropy_x(y, y_x, gamma)
+            d_ef = d_ef - visc * (
+                eta_x[:, 3 * q : 4 * q] - eta_x[:, 2 * q : 3 * q]
+            )
         e = (hxe * _quad(d_eta, w) + hte * _quad(d_ef, w)) / measure
         ent = jnp.maximum(e, 0.0) ** 2
     return residuals, ent

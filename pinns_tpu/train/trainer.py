@@ -122,6 +122,17 @@ class Problem:
             lam2 = jnp.exp(lam2)
         return lam1, lam2
 
+    @property
+    def viscous_static(self) -> bool:
+        """STATIC config-level predicate: can the effective viscosity
+        (pde.lambda2 slot) ever differ from zero? (The 'exp' transform maps
+        any raw lambda2 to exp(.) > 0; trainable coeffs can move it.)"""
+        return (
+            self.exp.pde.train_coeffs
+            or self.exp.pde.lambda2_transform == "exp"
+            or self.exp.pde.lambda2 != 0.0
+        )
+
     def residuals_and_entropy(self, params, colloc, want_entropy: bool):
         """(residuals, per-point entropy_sq or None) from ONE Taylor pass.
 
@@ -132,9 +143,14 @@ class Problem:
         regularizes the same weighted field. The entropy term (requested
         only when loss.entropy_weight > 0) is the squared admissibility
         violation: Burgers relu(U_t + F_x)^2 for U = u^2/2,
-        F = lambda1 u^3/3; Euler relu(-(S_t + u S_x))^2 for the physical
-        entropy S = log p - gamma log rho. Both reuse the streams the
-        residual already computed — no second derivative sweep.
+        F = lambda1 u^3/3 — corrected for viscosity when lambda2 can be
+        nonzero: exact viscous solutions satisfy
+        U_t + F_x - lambda2 (u u_x)_x = -lambda2 u_x^2 <= 0, so the
+        violation is relu(u f - lambda2 u_x^2) (pinned on a manufactured
+        viscous shock in tests/test_entropy_viscous.py). Euler:
+        relu(-(S_t + u S_x))^2 for the physical entropy
+        S = log p - gamma log rho. Both reuse the streams the residual
+        already computed — no second derivative sweep.
         """
         kappa = self.exp.loss.grad_weight_kappa
         if self.exp.pde.kind == "burgers":
@@ -144,7 +160,13 @@ class Problem:
             )
             ent = None
             if want_entropy:
-                e = u * u_t + lam1 * u * u * u_x
+                if self.viscous_static:
+                    # u f = U_t + F_x - lambda2 u u_xx; subtracting
+                    # lambda2 u_x^2 completes -lambda2 (u u_x)_x, the
+                    # viscous entropy balance (zero on exact solutions).
+                    e = u * f - lam2 * u_x * u_x
+                else:
+                    e = u * u_t + lam1 * u * u * u_x
                 ent = jnp.maximum(e, 0.0) ** 2
             if kappa > 0.0:
                 s2 = jax.lax.stop_gradient(u_x) ** 2
@@ -186,25 +208,14 @@ class Problem:
             )
         if self.exp.pde.kind == "burgers":
             lam1, lam2 = self.effective_coeffs(params)
-            # static: does the EFFECTIVE viscosity ever differ from zero?
-            # (the 'exp' transform maps any raw lambda2 to exp(.) > 0)
-            viscous = (
-                self.exp.pde.train_coeffs
-                or self.exp.pde.lambda2_transform == "exp"
-                or self.exp.pde.lambda2 != 0.0
-            )
             return burgers_flux_residual(
                 self.spec, params["net"], centers, lam1, lam2,
-                hx, ht, cfg.flux_quad, want_entropy, viscous,
+                hx, ht, cfg.flux_quad, want_entropy, self.viscous_static,
             )
         # Euler artificial viscosity rides the lambda2 coefficient slot —
         # same freeze/exp-transform/identification machinery as Burgers
         _, visc = self.effective_coeffs(params)
-        viscous = (
-            self.exp.pde.train_coeffs
-            or self.exp.pde.lambda2_transform == "exp"
-            or self.exp.pde.lambda2 != 0.0
-        )
+        viscous = self.viscous_static
         rs, ent = euler_flux_residuals(
             self.spec, params["net"], centers, self.exp.pde.gamma,
             hx, ht, cfg.flux_quad, want_entropy, visc, viscous,
@@ -388,27 +399,6 @@ def _residual_term(problem: Problem, params, colloc, admm_state, rho=None):
     m = exp.sampling.microbatch
     rho = cfg.rho if rho is None else rho
     ew = cfg.entropy_weight
-    if (
-        ew > 0.0
-        and exp.pde.kind == "burgers"
-        and abs(exp.pde.lambda2) > 1e-6
-        and exp.pde.lambda2_transform == "identity"
-        and not exp.pde.train_coeffs
-    ):
-        # The Burgers admissibility penalty relu(U_t + G_x)^2 uses the
-        # INVISCID entropy balance; exact viscous solutions have
-        # U_t + G_x = lambda2 u u_xx, legitimately positive in smooth
-        # regions — so on materially viscous configs the penalty fights
-        # correct behavior. It is a shock-selection lever for
-        # inviscid/near-inviscid problems (PARITY §4e).
-        print(
-            f"warning: loss.entropy_weight={ew} with viscous "
-            f"pde.lambda2={exp.pde.lambda2} — the inviscid entropy penalty "
-            f"penalizes correct viscous behavior in smooth regions; intended "
-            f"for inviscid/near-inviscid configs.",
-            flush=True,
-        )
-
     if cfg.causal_eps > 0.0 and (
         cfg.residual_kind not in ("mean_sq", "flux") or m > 1
     ):
