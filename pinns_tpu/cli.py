@@ -179,7 +179,8 @@ def cmd_sweep(args):
         lists[key] = [_parse_value(v) for v in _split_top_level(values)]
     grid = cartesian_grid(lists)
     results = run_sweep(
-        exp, grid, retries=args.retries, out_path=args.out, epochs=args.epochs
+        exp, grid, retries=args.retries, out_path=args.out,
+        epochs=args.epochs, concurrent=False if args.serial else None,
     )
     ok = sum(1 for r in results if r.status == "ok")
     print(f"{ok}/{len(results)} configurations succeeded")
@@ -241,8 +242,10 @@ def _eval_artifact(args):
             out[f"band_k_{name}"] = round(float(k), 4)
             out[f"band_cov_{name}"] = float(np.mean(err <= k * np.asarray(std)))
             cal = (served.meta.get("calibration") or {}).get(name, {})
-            if cal.get("mond_k"):  # Mondrian std-binned bands (serve.band_ks)
-                kpt = served.band_ks(name, std)
+            if cal.get("mond_k"):  # Mondrian binned bands (serve.band_ks)
+                kpt = served.band_ks(
+                    name, std, feature=preds.get(f"{name}_dx"),
+                )
                 out[f"band_cov_mond_{name}"] = float(
                     np.mean(err <= kpt * np.asarray(std))
                 )
@@ -281,11 +284,11 @@ def cmd_export(args):
         from pinns_tpu.parallel.ensemble import uq_calibration
 
         stacked = states[0]._replace(params=stacked_params)
-        cal = uq_calibration(trainer, stacked)
+        cal = uq_calibration(trainer, stacked, mond_feature=args.mond_feature)
         for field, row in cal.items():
             print(json.dumps({"field": field, **{
                 k: ([round(float(x), 4) for x in v] if isinstance(v, list)
-                    else round(float(v), 4))
+                    else v if isinstance(v, str) else round(float(v), 4))
                 for k, v in row.items()
             }}))
     path = export_ensemble(trainer, stacked_params, args.out, calibration=cal)
@@ -357,7 +360,7 @@ def cmd_predict(args):
                 name = k[: -len("_std")]
                 if name in cal:
                     out[f"{name}_band"] = served.band_ks(
-                        name, out[k]
+                        name, out[k], feature=out.get(f"{name}_dx"),
                     ) * np.asarray(out[k], np.float64)
     if args.out.endswith(".npz"):
         np.savez(args.out, x=x,
@@ -567,6 +570,9 @@ def main(argv=None):
                    metavar="KEY=V1,V2,...")
     p.add_argument("--retries", type=int, default=1)
     p.add_argument("--out", default=None, help="JSONL results path")
+    p.add_argument("--serial", action="store_true",
+                   help="disable concurrent dispatch of non-vmappable "
+                        "units over the local devices")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser(
@@ -608,6 +614,12 @@ def main(argv=None):
         help="bake split-conformal band factors (k_conf95 per field, "
         "measured on the preset's evaluation grid) into the ensemble "
         "artifact's meta.json",
+    )
+    p.add_argument(
+        "--mond-feature", choices=("std", "dx"), default="std",
+        help="Mondrian conformal binning feature: predicted std, or the "
+        "front-aware predicted |d(field)/dx| (the artifact then exports "
+        "{field}_dx and serves bands binned on it)",
     )
     p.set_defaults(fn=cmd_export)
 

@@ -211,7 +211,7 @@ def select_member(scores: Sequence[dict], by: str = "score") -> int:
     return int(min(range(len(scores)), key=lambda i: scores[i][by]))
 
 
-def ensemble_predict(trainer, stacked: TrainState, x) -> dict:
+def ensemble_predict(trainer, stacked: TrainState, x, want_dx: bool = False) -> dict:
     """Deep-ensemble prediction (Lakshminarayanan et al. 2017): one vmapped
     forward over the member axis, returning per-field ``mean`` and ``std``
     arrays plus the raw ``members`` stack.
@@ -219,9 +219,13 @@ def ensemble_predict(trainer, stacked: TrainState, x) -> dict:
     The reference farm's independent runs could support this only by
     post-hoc collecting per-process CSVs; here the members live stacked on
     device, so uncertainty is one jitted call. Returns
-    ``{field: {'mean': (N,1), 'std': (N,1), 'members': (E,N,1)}}``.
+    ``{field: {'mean': (N,1), 'std': (N,1), 'members': (E,N,1)}}``; with
+    ``want_dx`` each primary field also carries ``'dx'`` — the ensemble-mean
+    x-derivative |d(field)/dx| from one vmapped Taylor-1 pass (mean of the
+    member derivatives == derivative of the mean, by linearity) — the
+    serving-time front proxy for Mondrian binning.
     """
-    from pinns_tpu.train.evaluate import predict_fields
+    from pinns_tpu.train.evaluate import predict_field_dx, predict_fields
 
     x = jnp.asarray(x, trainer.problem.spec.dtype)
     preds = jax.jit(
@@ -235,11 +239,20 @@ def ensemble_predict(trainer, stacked: TrainState, x) -> dict:
             "std": np.asarray(jnp.std(stack32, axis=0)),
             "members": np.asarray(stack),
         }
+    if want_dx:
+        dxs = jax.jit(
+            jax.vmap(lambda p: predict_field_dx(trainer.problem, p, x))
+        )(stacked.params)
+        for name, stack in dxs.items():
+            out[name]["dx"] = np.abs(np.asarray(
+                jnp.mean(stack.astype(jnp.float32), axis=0)
+            ))
     return out
 
 
 def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
-                      alpha=0.05, n_cal=1024, seed=0, n_bins=4) -> dict:
+                      alpha=0.05, n_cal=1024, seed=0, n_bins=4,
+                      bin_feature=None, feature_name="std") -> dict:
     """Numpy core of :func:`uq_calibration` (unit-testable in isolation).
 
     Raw coverage at k*std for each k, the shock split (steepest-gradient
@@ -263,10 +276,19 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
     sampling noise). Ensemble std peaks at fronts (PARITY §4n), so the
     shock largely lands in the top bin and inherits a near-marginal
     guarantee instead of riding the global quantile. Returns
-    ``mond_edges`` (bin edges over std), ``mond_k`` (per-bin factors),
-    ``cov_mond95`` and ``cov_mond95_shock`` (verified on the disjoint
-    remainder). Bins with fewer than 20 score-half points fall back to
-    the global ``k_conf95``."""
+    ``mond_edges`` (bin edges over the binning feature), ``mond_k``
+    (per-bin factors), ``cov_mond95`` and ``cov_mond95_shock`` (verified
+    on the disjoint remainder). Bins with fewer than 20 score-half points
+    fall back to the global ``k_conf95``.
+
+    ``bin_feature`` swaps the Mondrian taxonomy feature: by default points
+    bin by their predicted std, but any serving-time-computable per-point
+    array works — ``uq_calibration(mond_feature='dx')`` passes the
+    predicted |d(field)/dx| (a front-AWARE feature: where std fails to
+    resolve a front, the model's own derivative does not — PARITY §4n's
+    rho flank). The band stays k_bin * std; only WHICH bin a point lands
+    in changes. ``feature_name`` is recorded as ``mond_feature`` so
+    serving applies the same taxonomy (ServedModel.band_ks)."""
     exact = np.asarray(exact, np.float64)
     mean = np.asarray(mean, np.float64)
     std = np.asarray(std, np.float64)
@@ -310,7 +332,9 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
         if rest_shock.any():
             row["cov_conf95_shock"] = float(np.mean(band_ok[rest_shock]))
     if n_bins > 1 and m >= 2:
-        s_all = std.ravel()
+        s_all = (np.asarray(bin_feature, np.float64).ravel()
+                 if bin_feature is not None else std.ravel())
+        row["mond_feature"] = feature_name
         # taxonomy/scores split: edges from one half, per-bin quantiles
         # from the other, so bin membership is independent of the scores
         # it calibrates (the Mondrian exchangeability requirement)
@@ -331,7 +355,8 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
             else:  # too few points for a meaningful finite-sample quantile
                 mond_k.append(k_conf)
         k_pt = np.asarray(mond_k)[bin_of]
-        mond_ok = err.ravel() <= k_pt * s_all + 1e-12
+        # the band is ALWAYS k * std — bin_feature only selects WHICH k
+        mond_ok = err.ravel() <= k_pt * std.ravel() + 1e-12
         row["mond_edges"] = [float(e) for e in edges]
         row["mond_k"] = mond_k
         row["cov_mond95"] = float(np.mean(mond_ok[rest]))
@@ -340,23 +365,27 @@ def calibration_stats(exact, mean, std, grad_mag=None, ks=(1.0, 2.0, 3.0),
     return row
 
 
-def mond_band_factors(cal_row: dict, std, default: float = 2.0) -> np.ndarray:
+def mond_band_factors(cal_row: dict, std, default: float = 2.0,
+                      feature=None) -> np.ndarray:
     """Per-point band factors from one :func:`calibration_stats` row: the
-    Mondrian std-binned conformal factors when present (each point binned
-    by its own predicted std over ``mond_edges``), else a constant array of
-    the global ``k_conf95`` (or ``default``). The serving-side twin is
+    Mondrian binned conformal factors when present (each point binned by
+    its own value of the row's ``mond_feature`` over ``mond_edges`` —
+    predicted std by default, predicted |dx| for front-aware rows; pass it
+    as ``feature``, else ``std`` is used), else a constant array of the
+    global ``k_conf95`` (or ``default``). The serving-side twin is
     :meth:`pinns_tpu.serve.ServedModel.band_ks` (kept separate so serve.py
     needs only jax + the artifact)."""
     edges, mond_k = cal_row.get("mond_edges"), cal_row.get("mond_k")
     std = np.asarray(std, np.float64)
     if not edges or not mond_k:
         return np.full(std.shape, float(cal_row.get("k_conf95", default)))
-    idx = np.searchsorted(np.asarray(edges, np.float64), std, side="right")
+    feat = np.asarray(feature, np.float64) if feature is not None else std
+    idx = np.searchsorted(np.asarray(edges, np.float64), feat, side="right")
     return np.asarray(mond_k, np.float64)[idx]
 
 
 def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0),
-                   n_bins: int = 4) -> dict:
+                   n_bins: int = 4, mond_feature: str = "std") -> dict:
     """Coverage calibration of the deep-ensemble uncertainty on the dense
     evaluation grid: per field, the fraction of grid points whose true error
     |mean - exact| falls within k*std for each k, plus the same 2-sigma
@@ -369,10 +398,20 @@ def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0),
     {field: {'cov1s':..,'cov2s':..,'cov3s':..,'cov2s_shock':..,
     'mean_std':..,'rmse':..,'k95':..,'k_conf95':..,'cov_conf95':..,
     'mond_edges':[..],'mond_k':[..],'cov_mond95':..,'cov_mond95_shock':..}}
-    — the Mondrian std-binned factors hold coverage conditionally at
-    fronts (:func:`mond_band_factors` applies them per point)."""
+    — the Mondrian binned factors hold coverage conditionally at
+    fronts (:func:`mond_band_factors` applies them per point).
+
+    ``mond_feature`` selects the Mondrian taxonomy: 'std' bins by predicted
+    std (the round-3 estimator — under-covers the rho shock, PARITY §4n);
+    'dx' bins by the predicted |d(field)/dx| from one vmapped Taylor-1 pass
+    (front-aware; equally serving-time-computable — ensemble artifacts
+    export it as ``{name}_dx``)."""
+    if mond_feature not in ("std", "dx"):
+        raise ValueError(f"unknown mond_feature {mond_feature!r} "
+                         "(expected 'std' or 'dx')")
     ds = trainer.problem.dataset
-    preds = ensemble_predict(trainer, stacked, ds.X_star)
+    preds = ensemble_predict(trainer, stacked, ds.X_star,
+                             want_dx=mond_feature == "dx")
     out = {}
     for name, p in preds.items():
         if name not in ds.star:  # residual outputs have no exact field
@@ -387,6 +426,8 @@ def uq_calibration(trainer, stacked: TrainState, ks=(1.0, 2.0, 3.0),
         out[name] = calibration_stats(
             ds.star[name], p["mean"], p["std"], grad_mag=grad_mag, ks=ks,
             n_bins=n_bins,
+            bin_feature=p.get("dx") if mond_feature == "dx" else None,
+            feature_name=mond_feature,
         )
     return out
 

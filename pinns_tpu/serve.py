@@ -112,10 +112,16 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble",
     """
     import jax.numpy as jnp
 
-    from pinns_tpu.train.evaluate import predict_fields
+    from pinns_tpu.train.evaluate import predict_field_dx, predict_fields
 
     problem = trainer.problem
     stacked_params = jax.tree_util.tree_map(np.asarray, stacked_params)
+    # front-aware Mondrian calibration bins on predicted |dx| — the artifact
+    # must then compute that same feature at serving time, so it gains a
+    # `{name}_dx` output per calibrated field (one extra Taylor-1 pass)
+    want_dx = bool(calibration) and any(
+        row.get("mond_feature") == "dx" for row in calibration.values()
+    )
 
     def fn(x):
         preds = jax.vmap(lambda p: predict_fields(problem, p, x))(
@@ -126,6 +132,14 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble",
             s32 = stack.astype(jnp.float32)
             out[name] = jnp.mean(s32, axis=0)
             out[f"{name}_std"] = jnp.std(s32, axis=0)
+        if want_dx:
+            dxs = jax.vmap(lambda p: predict_field_dx(problem, p, x))(
+                stacked_params
+            )
+            for name, stack in dxs.items():
+                out[f"{name}_dx"] = jnp.abs(
+                    jnp.mean(stack.astype(jnp.float32), axis=0)
+                )
         return out
 
     (b,) = jax_export.symbolic_shape("b")
@@ -150,9 +164,13 @@ def export_ensemble(trainer, stacked_params, path: str = "exported_ensemble",
                 "mond_edges", "mond_k", "cov_mond95", "cov_mond95_shock")
         meta["calibration"] = {
             f: {
-                k: ([float(v) for v in row[k]] if isinstance(row[k], list)
-                    else float(row[k]))
-                for k in keep if k in row
+                **{
+                    k: ([float(v) for v in row[k]]
+                        if isinstance(row[k], list) else float(row[k]))
+                    for k in keep if k in row
+                },
+                **({"mond_feature": row["mond_feature"]}
+                   if "mond_feature" in row else {}),
             }
             for f, row in calibration.items()
         }
@@ -194,20 +212,29 @@ class ServedModel:
         cal = self.meta.get("calibration") or {}
         return float(cal.get(field, {}).get("k_conf95", default))
 
-    def band_ks(self, field: str, std, default: float = 2.0) -> np.ndarray:
+    def band_ks(self, field: str, std, default: float = 2.0,
+                feature=None) -> np.ndarray:
         """Per-point band factors for ``mean ± k·std``: the Mondrian
-        (std-binned) conformal factors when the artifact carries them —
-        each served point is binned by its own predicted std
-        (``np.searchsorted`` over the baked ``mond_edges``) and gets that
-        bin's quantile, which restores near-95% coverage at fronts where
-        the global factor under-covers (PARITY §4n) — else a constant
-        array of :meth:`band_k`."""
+        conformal factors when the artifact carries them — each served
+        point is binned by its own value of the baked ``mond_feature``
+        (``np.searchsorted`` over the baked ``mond_edges``): predicted std
+        by default, or the predicted front proxy |d(field)/dx| (the
+        artifact's ``{field}_dx`` output) for front-aware calibrations,
+        passed as ``feature``. Binned factors restore near-95% coverage at
+        fronts where the global factor under-covers (PARITY §4n); without
+        baked bins this returns a constant array of :meth:`band_k`. A
+        'dx'-calibrated artifact with no feature given falls back to the
+        global factor rather than silently binning on the wrong feature."""
         cal = (self.meta.get("calibration") or {}).get(field, {})
         edges, mond_k = cal.get("mond_edges"), cal.get("mond_k")
         std = np.asarray(std, np.float64)
         if not edges or not mond_k:
             return np.full(std.shape, self.band_k(field, default))
-        idx = np.searchsorted(np.asarray(edges, np.float64), std,
+        needs_dx = cal.get("mond_feature", "std") == "dx"
+        if needs_dx and feature is None:
+            return np.full(std.shape, self.band_k(field, default))
+        feat = (np.asarray(feature, np.float64) if needs_dx else std)
+        idx = np.searchsorted(np.asarray(edges, np.float64), feat,
                               side="right")
         return np.asarray(mond_k, np.float64)[idx]
 
@@ -282,7 +309,10 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
                             name = k[: -len("_std")]
                             if name not in cal:
                                 continue
-                            ks = served.band_ks(name, out[k])
+                            ks = served.band_ks(
+                                name, out[k],
+                                feature=out.get(f"{name}_dx"),
+                            )
                             out[f"{name}_band"] = ks * np.asarray(
                                 out[k], np.float64
                             )

@@ -40,3 +40,20 @@ def predict_fields(problem, params, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     rho, u, e = fields
     f1, f2, f3 = residuals
     return {"rho": rho, "u": u, "E": e, "f1": f1, "f2": f2, "f3": f3}
+
+
+def predict_field_dx(problem, params, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """x-derivative of each network field at points x (N, 2) — ONE Taylor-1
+    pass. This is the serving-time front proxy for Mondrian conformal
+    binning (LossConfig has no role here; see
+    parallel.ensemble.uq_calibration(mond_feature='dx')): fronts are where
+    |d(field)/dx| is large, and the model's own predicted derivative
+    resolves them even when the ensemble std does not (PARITY §4n's rho
+    flank). Returns {'u': (N, 1)} for Burgers, {'rho','u','E'} for Euler.
+    """
+    from pinns_tpu.ops.taylor import mlp_taylor_1
+
+    _, y_x, _ = mlp_taylor_1(problem.spec, params["net"], x)
+    if problem.exp.pde.kind == "burgers":
+        return {"u": y_x[:, 0:1]}
+    return {"rho": y_x[:, 0:1], "u": y_x[:, 1:2], "E": y_x[:, 2:3]}

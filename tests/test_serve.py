@@ -156,6 +156,41 @@ def test_export_ensemble_calibration_meta(tmp_path):
     assert np.all(served2.band_ks("u", probe_std) == 2.0)
 
 
+def test_export_ensemble_front_aware_dx(tmp_path):
+    """mond_feature='dx' calibration: the artifact gains a `{name}_dx`
+    output (the ensemble-mean |d field/dx| the bins were fit on) and
+    band_ks bins on that feature; without the feature it falls back to the
+    global factor rather than silently binning std on dx edges."""
+    from pinns_tpu.parallel.ensemble import (
+        ensemble_predict,
+        init_ensemble_states,
+        uq_calibration,
+    )
+    from pinns_tpu.serve import export_ensemble
+
+    tr, _ = _trained("abgrall_l2")
+    stacked = init_ensemble_states(tr, seeds=[0, 1, 2])
+    cal = uq_calibration(tr, stacked, mond_feature="dx")
+    assert cal["u"].get("mond_feature") == "dx"
+    path = export_ensemble(tr, stacked.params, str(tmp_path / "ens"),
+                           calibration=cal)
+    served = load_exported(path)
+    assert "u_dx" in served.fields
+    assert served.meta["calibration"]["u"]["mond_feature"] == "dx"
+    x = tr.problem.dataset.X_star[:31]
+    got = served.predict(x)
+    want = ensemble_predict(tr, stacked, x, want_dx=True)
+    np.testing.assert_allclose(
+        got["u_dx"], want["u"]["dx"], rtol=1e-4, atol=1e-6
+    )
+    ks = served.band_ks("u", got["u_std"], feature=got["u_dx"])
+    assert ks.shape == got["u_std"].shape
+    assert set(np.unique(ks)) <= set(cal["u"]["mond_k"])
+    # no feature -> global factor, never std binned on dx edges
+    ks_nofeat = served.band_ks("u", got["u_std"])
+    assert np.all(ks_nofeat == served.band_k("u"))
+
+
 def test_export_bf16_master_dtype_serves(tmp_path):
     """A bfloat16-master-dtype export must load and predict: the meta
     round-trips the dtype as the string 'bfloat16', which plain

@@ -131,11 +131,57 @@ def test_sweep_serial_fallback_is_logged(capsys):
             "optimizer.kind": "adam",
         },
     )
-    # duplicate configs with no vmappable axis -> serial, visibly
-    results = run_sweep(base, [{}, {}], epochs=10)
+    # duplicate configs with no vmappable axis -> per-member units, visibly
+    results = run_sweep(base, [{}, {}], epochs=10, concurrent=False)
     assert all(r.status == "ok" for r in results)
     out = capsys.readouterr().out
-    assert "serially" in out
+    assert "serial units" in out and "can't vmap" in out
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_sweep_concurrent_units_overlap(capsys):
+    """Shape-heterogeneous grids (the reference envelope's N_f axis,
+    scheduler.py:97-109) must dispatch as CONCURRENT units over the local
+    devices: distinct device placements and genuinely overlapping execution
+    spans. (This 1-core CI box can't show a wall-clock win for
+    compute-bound CPU programs — the overlap + placement is the pinned
+    evidence that distinct jit specializations run simultaneously on
+    distinct devices, which is what turns into wall-clock on a real
+    multi-chip slice.)"""
+    import jax
+
+    if len(jax.local_devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    base = override(
+        get_preset("abgrall_l2"),
+        {
+            "sampling.n_f": 256,
+            "train.chunk": 50,
+            "optimizer.kind": "adam",
+        },
+    )
+    # three DIFFERENT static shapes -> three units, no vmap possible
+    grid = [
+        {"model.layers": (2, 8, 8, 1)},
+        {"model.layers": (2, 10, 10, 1)},
+        {"model.layers": (2, 12, 12, 1)},
+    ]
+    results = run_sweep(base, grid, epochs=300)
+    assert all(r.status == "ok" for r in results)
+    # results come back in grid order regardless of completion order
+    assert [r.overrides for r in results] == grid
+    out = capsys.readouterr().out
+    assert "concurrently over" in out
+    devices = {r.device for r in results}
+    assert len(devices) >= 2 and all(d is not None for d in devices)
+    # at least one pair on distinct devices must have overlapping spans
+    overlapped = any(
+        a.t_start < b.t_end and b.t_start < a.t_end
+        for i, a in enumerate(results)
+        for b in results[i + 1:]
+        if a.device != b.device
+    )
+    assert overlapped
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
