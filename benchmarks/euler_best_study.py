@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Ensemble + L-BFGS tails + ground-truth-free selection on Euler
+(VERDICT-r3 #3: close the forward u-gap).
+
+The hybrid Adam->L-BFGS tail on euler_weak_fast reached the best
+fast-budget numbers measured (rho/u/E .0208/.0453/.0142) on seed 1234 but
+failed solo seed replication (u 0.176/0.105 on seeds 7/99 — PARITY §4o):
+1-in-3 seeds improved. The shipped mitigation was "run several seeds and
+pick the best", and every piece exists — vmapped 8-member ensembles run
+the FULL hybrid schedule, and selection_scores ranks members WITHOUT
+ground truth (PARITY §4p) — but the composed recipe was never measured.
+
+This runs THREE independent 8-member hybrid ensembles (disjoint seed
+blocks), selects each run's best member by the ground-truth-free score,
+and reports the selected member's TRUE rel-L2 next to the oracle-best
+member (selection regret). Ship gate: if the median selected u over the
+3 runs beats the shipped solo record (u 0.0544 @ 1M; fast-budget band
+0.064-0.076), promote as preset `euler_weak_best`.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/euler_best_study.py [base_seeds...]
+Writes benchmarks/results/r4_euler_best.jsonl.
+"""
+
+import json
+import sys
+import time
+
+from pinns_tpu.config import override
+from pinns_tpu.experiments import get_preset
+from pinns_tpu.parallel.ensemble import (
+    run_ensemble,
+    select_member,
+    selection_scores,
+)
+from pinns_tpu.train import Trainer
+
+OUT = "benchmarks/results/r4_euler_best.jsonl"
+
+HYBRID = {
+    "optimizer.kind": "hybrid",
+    "optimizer.switch_epoch": 200_000,
+    "train.epochs": 200_050,
+    "train.log_every": 0,
+}
+
+
+def emit(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def run(base_seed, extra=None):
+    exp = override(get_preset("euler_weak_fast"), {**HYBRID, **(extra or {})})
+    tr = Trainer(exp)
+    seeds = [base_seed + i for i in range(8)]
+    t0 = time.time()
+    stacked, summaries = run_ensemble(tr, seeds)
+    wall = round(time.time() - t0, 1)
+    scores = selection_scores(tr, stacked, len(seeds), seed=base_seed + 777)
+    sel = select_member(scores)
+    rel = [
+        {k: round(float(v), 4) for k, v in s.items() if "rel_l2" in k}
+        for s in summaries
+    ]
+    oracle = min(range(len(rel)), key=lambda i: rel[i]["rel_l2_u"])
+    emit({
+        "tag": f"hybrid_ens8_base{base_seed}",
+        "wall_s": wall,
+        "members": rel,
+        "scores": [round(s["score"], 6) for s in scores],
+        "selected": sel,
+        "selected_rel": rel[sel],
+        "oracle": oracle,
+        "oracle_rel": rel[oracle],
+        "regret_u": round(rel[sel]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4),
+    })
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    extra = None
+    if "--toy" in args:  # CPU flush-test of the whole path at toy scale
+        args.remove("--toy")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        OUT = OUT.replace(".jsonl", "_toy.jsonl")
+        extra = {
+            "model.layers": (2, 12, 12, 3), "sampling.n_f": 128,
+            "train.epochs": 60, "train.chunk": 30,
+            "optimizer.switch_epoch": 30, "optimizer.lbfgs.max_iters": 5,
+            "sampling.t_curriculum_epochs": 0,
+        }
+    bases = [int(s) for s in args] or [1234, 7000, 99000]
+    for b in bases:
+        run(b, extra)

@@ -42,16 +42,20 @@ from pinns_tpu.train import Trainer
 
 BATCHES = (256, 4096, 65536, 1048576)
 REPS = 20
+OUT = "benchmarks/results/r4_serve_latency.jsonl"
 
 
 def _chained_device(model, x0, reps=REPS):
-    """Median per-call seconds of the raw exported call, device inputs,
-    each call's input perturbed by the previous call's first output."""
+    """Per-call seconds of the raw exported call, device inputs, each
+    call's input perturbed by the previous call's first output. Returns
+    (cold_seconds, [warm_seconds...]) — cold includes the XLA compile."""
     call = model._call
     field = model.fields[0]
     x = jnp.asarray(x0)
+    t0 = time.perf_counter()
     out = call(x)  # compile + warm
     jax.block_until_ready(out)
+    cold = time.perf_counter() - t0
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -59,11 +63,11 @@ def _chained_device(model, x0, reps=REPS):
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
         x = x + 1e-7 * out[field]  # chain: next input depends on result
-    return float(np.median(times))
+    return cold, times
 
 
 def _chained_served(model, x0, reps=REPS):
-    """Median per-call seconds of ServedModel.predict (numpy end to end)."""
+    """Per-call seconds of ServedModel.predict (numpy end to end)."""
     field = model.fields[0]
     x = np.asarray(x0)
     out = model.predict(x)  # warm
@@ -73,7 +77,11 @@ def _chained_served(model, x0, reps=REPS):
         out = model.predict(x)
         times.append(time.perf_counter() - t0)
         x = x + 1e-7 * out[field]
-    return float(np.median(times))
+    return times
+
+
+def _pct(times, q):
+    return round(float(np.percentile(times, q)) * 1e3, 3)
 
 
 def measure(tag, path):
@@ -81,17 +89,23 @@ def measure(tag, path):
     rng = np.random.default_rng(0)
     for b in BATCHES:
         x0 = rng.uniform(-0.5, 0.5, size=(b, 2)).astype(np.float32)
-        dev = _chained_device(model, x0)
+        cold, dev = _chained_device(model, x0)
         srv = _chained_served(model, x0)
-        print(json.dumps({
+        rec = {
             "tag": tag, "batch": b,
             "backend": jax.default_backend(),
             "n_outputs": len(model.fields),
-            "device_ms": round(dev * 1e3, 3),
-            "served_ms": round(srv * 1e3, 3),
-            "device_pts_per_s": int(b / dev),
-            "served_pts_per_s": int(b / srv),
-        }), flush=True)
+            "cold_ms": round(cold * 1e3, 1),
+            "device_p50_ms": _pct(dev, 50),
+            "device_p99_ms": _pct(dev, 99),
+            "served_p50_ms": _pct(srv, 50),
+            "served_p99_ms": _pct(srv, 99),
+            "device_pts_per_s": int(b / np.median(dev)),
+            "served_pts_per_s": int(b / np.median(srv)),
+        }
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
 
 
 def _export(tag, out_root):

@@ -197,13 +197,30 @@ class ServedModel:
     def fields(self):
         return self.meta["fields"]
 
-    def predict(self, x) -> Dict[str, np.ndarray]:
+    @staticmethod
+    def bucket_size(n: int, floor: int = 64) -> int:
+        """Padded batch size: `floor` for small requests, else the next
+        power of two — so a server seeing arbitrary request sizes compiles
+        at most ~log2(max_n) programs instead of one per distinct size."""
+        if n <= floor:
+            return floor
+        return 1 << (n - 1).bit_length()
+
+    def predict(self, x, pad_to_bucket: bool = False) -> Dict[str, np.ndarray]:
         # resolve via jnp: extended dtypes like 'bfloat16' are ml_dtypes
         # types that plain np.dtype(...) cannot look up by string
         dtype = jnp.dtype(self.meta["input"]["dtype"])
         x = np.asarray(jnp.asarray(np.asarray(x), dtype))
+        n = x.shape[0]
+        if pad_to_bucket:
+            # every output is pointwise in the batch row, so padding with a
+            # repeated row and slicing back is exact for the real rows
+            b = self.bucket_size(n)
+            if b != n:
+                pad = np.repeat(x[-1:], b - n, axis=0)
+                x = np.concatenate([x, pad], axis=0)
         out = self._call(x)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     def band_k(self, field: str, default: float = 2.0) -> float:
         """Calibrated band factor for ``mean ± k·std`` on an ensemble
@@ -262,8 +279,12 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
 
     Returns the (unstarted) ThreadingHTTPServer; callers run
     ``server.serve_forever()`` (the CLI does) or drive it from a thread in
-    tests. Batch dim is symbolic in the artifact, so any request size works;
-    the first request at a new size pays one XLA compile."""
+    tests. Batch dim is symbolic in the artifact, so any request size
+    works; requests are padded to power-of-two size buckets
+    (``ServedModel.bucket_size``) before the exported call, so N distinct
+    request sizes cost at most ~log2(max_n) XLA compiles — not N programs
+    cached forever in-process. The first request IN a new bucket pays that
+    bucket's one compile."""
     import http.server
 
     served = ServedModel(path)
@@ -293,7 +314,7 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
                 x = np.asarray(req["x"], np.float32)
                 if x.ndim != 2 or x.shape[1] != 2:
                     raise ValueError(f"x must be (N, 2), got {x.shape}")
-                out = served.predict(x)
+                out = served.predict(x, pad_to_bucket=True)
                 if req.get("bands"):
                     # only fields with BAKED factors get a band: serving
                     # 2.0*std as a "~95% band" would be silently ~10x

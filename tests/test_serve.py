@@ -156,6 +156,38 @@ def test_export_ensemble_calibration_meta(tmp_path):
     assert np.all(served2.band_ks("u", probe_std) == 2.0)
 
 
+def test_predict_bucket_padding_exact_and_bounded(tmp_path):
+    """pad_to_bucket pads to power-of-two sizes: results are exactly the
+    unpadded ones for the real rows, and distinct request sizes within a
+    bucket share ONE compiled program (the HTTP server's compile-set
+    bound)."""
+    from pinns_tpu.serve import ServedModel, export_predict
+
+    assert ServedModel.bucket_size(1) == 64
+    assert ServedModel.bucket_size(64) == 64
+    assert ServedModel.bucket_size(65) == 128
+    assert ServedModel.bucket_size(128) == 128
+    assert ServedModel.bucket_size(1000) == 1024
+
+    tr, state = _trained("abgrall_l2")
+    path = export_predict(tr, state.params, str(tmp_path / "m"))
+    served = load_exported(path)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-0.9, 0.9, size=(100, 2)).astype(np.float32)
+    want = served.predict(x)
+    got = served.predict(x, pad_to_bucket=True)
+    for k in want:
+        assert got[k].shape == want[k].shape
+        # last-ulp only: a different padded batch size may vectorize
+        # differently, but the real rows' values must not change
+        np.testing.assert_allclose(got[k], want[k], rtol=2e-6, atol=1e-7)
+    if hasattr(served._call, "_cache_size"):
+        before = served._call._cache_size()
+        for n in (65, 80, 127):  # three sizes, one 128 bucket
+            served.predict(x[:n], pad_to_bucket=True)
+        assert served._call._cache_size() == before  # 100 padded to 128 too
+
+
 def test_export_ensemble_front_aware_dx(tmp_path):
     """mond_feature='dx' calibration: the artifact gains a `{name}_dx`
     output (the ensemble-mean |d field/dx| the bins were fit on) and
