@@ -531,60 +531,68 @@ def burgers_weno(
 
 
 def two_sin_ic(x: np.ndarray) -> np.ndarray:
-    """The TwoSin dataset's actual IC: two sine periods over [-1, 1].
+    """The TwoSin dataset's actual IC: two sine periods over [-1, 1]
+    (amplitude 1.005, round-4 refined — see ``TWOSIN_TAU``).
 
     Identified against the stored reference grid
     (``Burgers/Data/TwoSin_burgers_shock.mat``, which ships with no
     generator): its first column is the inviscid entropy solution of
-    u0 = sin(2*pi*x) at tau = 0.010 (rel-L2 2.5e-3 vs grid-converged Godunov
+    u0 ~ sin(2*pi*x) at tau = 0.010 (rel-L2 2.5e-3 vs grid-converged Godunov
     FV), and EVERY later column matches the same evolution at a remapped time
-    tau(k) in [0.010, 0.401] with drifting spacing 0.0037 -> 0.0043 —
+    tau(k) in [0.010, 0.395] with drifting spacing 0.0036 -> 0.0044 —
     adaptive-CFL steps subsampled and then labeled t = linspace(0, 1, 101).
     The stored time axis is therefore NOT physical time; see PARITY.md §2 for
     the quantitative consequences (no u_t + u*u_x = 0 solution fits the
     labels better than rel-L2 0.38; an affine clock remap — lambda1 = 0.377
     — fits to 0.037).
     """
-    return np.sin(2.0 * np.pi * x)
+    return TWOSIN_AMP * np.sin(2.0 * np.pi * x)
 
 
 # Measured per-column physical times tau(k) of TwoSin_burgers_shock.mat —
 # the stored grid's 101 columns (labeled t = linspace(0, 1, 101)) each match
-# the viscous (nu = 1e-3) Godunov evolution of u0 = sin(2*pi*x) at these
-# times (max column rel-L2 3.2%, snapshot resolution 5e-4; re-derive with
-# benchmarks/abgrall_ident.py's sibling scan — see PARITY.md section 2).
-# The drifting spacing (0.0035 -> 0.0045) is the adaptive-CFL signature that
-# falsified the label axis as physical time.
+# the viscous Godunov evolution of u0 = TWOSIN_AMP*sin(2*pi*x) at these
+# times. Round-4 refinement (snapshot resolution 1.25e-4, joint nu/amp
+# scan): nu = 1.9e-3 (round 3 used 1e-3), amp = 1.005 — max column rel-L2
+# 1.36 %, mean 0.81 % (was 3.2 %/2.1 %). As for Abgrall, the remaining
+# floor is the stored producer's own scheme signature: evolving the stored
+# column k forward one tau step departs from column k+1 by 0.9-5.3e-3 for
+# any constant-nu evolution. The drifting spacing (0.0036 -> 0.0044) is the
+# adaptive-CFL signature that falsified the label axis as physical time.
+TWOSIN_NU = 1.9e-3
+TWOSIN_AMP = 1.005
 TWOSIN_TAU = (
-    0.0100, 0.0135, 0.0175, 0.0210, 0.0245, 0.0285, 0.0320, 0.0360, 0.0395,
-    0.0430, 0.0470, 0.0505, 0.0540, 0.0575, 0.0615, 0.0650, 0.0685, 0.0725,
-    0.0760, 0.0795, 0.0830, 0.0870, 0.0905, 0.0940, 0.0975, 0.1010, 0.1045,
-    0.1085, 0.1120, 0.1155, 0.1190, 0.1225, 0.1260, 0.1295, 0.1325, 0.1360,
-    0.1395, 0.1430, 0.1460, 0.1495, 0.1530, 0.1560, 0.1595, 0.1625, 0.1655,
-    0.1690, 0.1720, 0.1755, 0.1795, 0.1830, 0.1875, 0.1920, 0.1970, 0.2020,
-    0.2070, 0.2115, 0.2160, 0.2205, 0.2245, 0.2290, 0.2330, 0.2370, 0.2415,
-    0.2455, 0.2495, 0.2535, 0.2575, 0.2615, 0.2655, 0.2695, 0.2730, 0.2770,
-    0.2810, 0.2850, 0.2890, 0.2930, 0.2970, 0.3010, 0.3050, 0.3095, 0.3135,
-    0.3175, 0.3215, 0.3255, 0.3295, 0.3340, 0.3380, 0.3420, 0.3465, 0.3505,
-    0.3550, 0.3590, 0.3635, 0.3680, 0.3720, 0.3765, 0.3810, 0.3855, 0.3895,
-    0.3940, 0.3985,
+    0.01000, 0.01362, 0.01738, 0.02100, 0.02463, 0.02838, 0.03200, 0.03575,
+    0.03938, 0.04300, 0.04675, 0.05038, 0.05412, 0.05775, 0.06137, 0.06513,
+    0.06875, 0.07237, 0.07600, 0.07975, 0.08338, 0.08700, 0.09062, 0.09425,
+    0.09800, 0.10163, 0.10525, 0.10887, 0.11250, 0.11613, 0.11975, 0.12337,
+    0.12700, 0.13062, 0.13425, 0.13787, 0.14163, 0.14525, 0.14888, 0.15250,
+    0.15625, 0.16000, 0.16375, 0.16750, 0.17137, 0.17525, 0.17938, 0.18350,
+    0.18763, 0.19188, 0.19612, 0.20037, 0.20438, 0.20838, 0.21225, 0.21600,
+    0.21975, 0.22338, 0.22712, 0.23075, 0.23450, 0.23813, 0.24188, 0.24563,
+    0.24938, 0.25312, 0.25688, 0.26062, 0.26450, 0.26825, 0.27213, 0.27587,
+    0.27975, 0.28363, 0.28750, 0.29137, 0.29525, 0.29925, 0.30313, 0.30712,
+    0.31112, 0.31512, 0.31912, 0.32312, 0.32712, 0.33125, 0.33525, 0.33937,
+    0.34350, 0.34763, 0.35187, 0.35600, 0.36025, 0.36450, 0.36875, 0.37300,
+    0.37738, 0.38162, 0.38600, 0.39038, 0.39475,
 )
 
 
 def make_twosin_grid(
-    nx: int = 513, nt: int = 101, nu: float = 1e-3, fv_nx: int = 2049
+    nx: int = 513, nt: int = 101, nu: float = TWOSIN_NU, fv_nx: int = 2049
 ) -> Dict[str, np.ndarray]:
     """Regenerate TwoSin_burgers_shock.mat natively (513x101, x in [-1,1],
-    labels t = linspace(0,1,101)): evolve u0 = sin(2*pi*x) with the viscous
+    labels t = linspace(0,1,101)): evolve ``two_sin_ic`` with the viscous
     Godunov solver and sample the measured per-column times ``TWOSIN_TAU``.
-    Validated vs the stored reference grid: max column rel-L2 3.2 %, mean
-    2.1 % (grid-converged; reference ships no generator —
+    Validated vs the stored reference grid: max column rel-L2 1.4 %, mean
+    0.8 % (round 4; was 3.2 %/2.1 % at the round-3 nu=1e-3 —
+    grid-converged; reference ships no generator —
     ``Burgers/Data/TwoSin_burgers_shock.mat``)."""
     taus = np.asarray(TWOSIN_TAU)
     if nt != len(taus):  # interpolate the measured clock to other column counts
         taus = np.interp(np.linspace(0, 1, nt), np.linspace(0, 1, len(taus)), taus)
     t_final = float(taus[-1] + 0.01)
-    n_snap = int(round(t_final / 5e-4)) + 1
+    n_snap = int(round(t_final / 2.5e-4)) + 1
     out = burgers_fv(
         two_sin_ic, nx=fv_nx, nt=n_snap, t_final=t_final, nu=nu,
         xlim=(-1.0, 1.0), periodic=True,

@@ -148,12 +148,14 @@ def test_twosin_regenerator_matches_stored_grid():
     ref = scipy.io.loadmat(
         "/root/reference/Burgers/Data/TwoSin_burgers_shock.mat"
     )
-    out = make_twosin_grid(fv_nx=513)  # reduced FV grid: ~1 s, max err 2.7%
+    out = make_twosin_grid(fv_nx=513)  # reduced FV grid: ~1 s, max err 1.9%
     assert out["usol"].shape == ref["usol"].shape == (513, 101)
     errs = np.linalg.norm(out["usol"] - ref["usol"], axis=0) / np.linalg.norm(
         ref["usol"], axis=0
     )
-    assert errs.max() < 0.04, f"worst column rel-L2 {errs.max():.4f}"
+    # round-4 refined oracle (nu=1.9e-3, amp=1.005, re-fit TWOSIN_TAU):
+    # 1.89% at this reduced grid, 1.36% at the full default grid
+    assert errs.max() < 0.025, f"worst column rel-L2 {errs.max():.4f}"
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
@@ -173,7 +175,9 @@ def test_abgrall_regenerator_matches_stored_grid():
     errs = np.linalg.norm(out["usol"] - ref["usol"], axis=0) / np.linalg.norm(
         ref["usol"], axis=0
     )
-    assert errs.max() < 0.04, f"worst column rel-L2 {errs.max():.4f}"
+    # round-4 refined oracle (lam1=1.0078, nu=4.95e-3, refined IC):
+    # 1.82% at this reduced grid, 1.70% at the full default grid
+    assert errs.max() < 0.025, f"worst column rel-L2 {errs.max():.4f}"
 
 
 def test_all_known_datasets_load_without_reference_tree(tmp_path, monkeypatch):
