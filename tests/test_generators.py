@@ -207,3 +207,107 @@ def test_all_known_datasets_load_without_reference_tree(tmp_path, monkeypatch):
         ds = dsm.load_burgers_mat(name, root=str(tmp_path))
         assert ds.fields["u"].shape == shape, (name, ds.fields["u"].shape)
         assert np.all(np.isfinite(ds.fields["u"]))
+    eds = dsm.load_euler_mat("abgrall_eulers", root=str(tmp_path))
+    for f in ("rho", "u", "E"):
+        assert eds.fields[f].shape == (157, 300)
+        assert np.all(np.isfinite(eds.fields[f]))
+
+
+def test_exact_riemann_matches_converged_fv():
+    """The exact Riemann oracle agrees with the converged HLLC solve of the
+    same blend shock tube to FV resolution — cross-validation of both."""
+    from pinns_tpu.data.generators import (
+        blend_primitives,
+        euler_exact_riemann,
+        euler_solve_hllc,
+    )
+
+    left, right = blend_primitives()
+    out = euler_solve_hllc(nx=3000, n_snapshots=3, t_final=0.15)
+    xs = out["x"].ravel()
+    w = euler_exact_riemann(xs, 0.15, left, right)
+    rho_fv = out["rhosol"][:, 2]
+    u_fv = out["usol"][:, 2]
+    p_fv = 0.4 * (out["Enersol"][:, 2] - 0.5 * rho_fv * u_fv**2)
+    for name, a, b, tol in (
+        ("rho", w[:, 0], rho_fv, 8e-3),
+        ("u", w[:, 1], u_fv, 2e-2),
+        ("p", w[:, 2], p_fv, 8e-3),
+    ):
+        err = np.linalg.norm(a - b) / np.linalg.norm(a)
+        assert err < tol, (name, err)
+
+
+def test_exact_riemann_jump_and_structure():
+    """Rankine-Hugoniot across the right shock, constancy of (u, p) across
+    the contact, and positivity — the closed-form oracle's invariants."""
+    from pinns_tpu.data.generators import blend_primitives, euler_exact_riemann
+
+    gamma = 1.4
+    left, right = blend_primitives()
+    t = 0.12
+    x = np.linspace(0.0, 1.0, 20001)
+    w = euler_exact_riemann(x, t, left, right)
+    rho, u, p = w[:, 0], w[:, 1], w[:, 2]
+    assert np.all(rho > 0) and np.all(p > 0)
+    # locate the right shock: the rightmost jump in rho
+    jumps = np.abs(np.diff(rho))
+    i = int(np.argmax(jumps[len(jumps) // 2:])) + len(jumps) // 2
+    s = (x[i] + x[i + 1]) / 2.0
+    s_speed = (s - 0.5) / t
+    def flux(r, uu, pp):
+        e = pp / (gamma - 1) + 0.5 * r * uu**2
+        return np.array([r * uu, r * uu * uu + pp, uu * (e + pp)])
+
+    fs = flux(rho[i - 5], u[i - 5], p[i - 5])
+    fr = flux(rho[i + 5], u[i + 5], p[i + 5])
+    # RH: s [U] = [F] componentwise across the shock
+    dU = np.array([
+        rho[i - 5] - rho[i + 5],
+        rho[i - 5] * u[i - 5] - rho[i + 5] * u[i + 5],
+        (p[i - 5] / 0.4 + 0.5 * rho[i - 5] * u[i - 5] ** 2)
+        - (p[i + 5] / 0.4 + 0.5 * rho[i + 5] * u[i + 5] ** 2),
+    ])
+    np.testing.assert_allclose(s_speed * dU, fs - fr, rtol=2e-3, atol=2e-4)
+    # contact: u and p continuous where rho jumps mid-domain
+    mid = (x > 0.5 + 0.2 * t) & (x < s - 0.01)
+    assert np.ptp(u[mid]) < 1e-10 and np.ptp(p[mid]) < 1e-10
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_stored_euler_artifact_error_vs_exact_documented():
+    """The stored DG artifact's OWN error against the exact solution of its
+    IC is material and measured (PARITY §2): the native exact oracle is
+    strictly better ground truth. Pin the measured bands so a regression in
+    the oracle (or a surprise change in the grading) is caught."""
+    import scipy.io
+
+    from pinns_tpu.data.generators import (
+        EULER_DT,
+        EULER_T0,
+        blend_primitives,
+        euler_exact_riemann,
+    )
+
+    ref = scipy.io.loadmat("/root/reference/Eulers/Data/Abgrall_eulers.mat")
+    x_ref = ref["x"].ravel()
+    left, right = blend_primitives()
+    errs = {"rho": [], "u": [], "E": []}
+    for k in range(0, 157, 6):
+        w = euler_exact_riemann(
+            x_ref, float(EULER_T0 + EULER_DT * k), left, right
+        )
+        e = w[:, 2] / 0.4 + 0.5 * w[:, 0] * w[:, 1] ** 2
+        for f, ours in (("rho", w[:, 0]), ("u", w[:, 1]), ("E", e)):
+            key = {"rho": "rhosol", "u": "usol", "E": "Enersol"}[f]
+            col = ref[key][:, k]
+            errs[f].append(
+                float(np.linalg.norm(ours - col) / np.linalg.norm(col))
+            )
+    # the stored artifact tracks the exact solution only to these bands —
+    # its DG dissipation/startup signature, not an oracle defect
+    assert max(errs["rho"]) < 0.03
+    assert max(errs["E"]) < 0.03
+    assert max(errs["u"]) < 0.30
+    # sanity: mid/late columns are much closer than the startup transient
+    assert errs["u"][-1] < 0.06
