@@ -501,7 +501,7 @@ def cmd_generate_data(args):
     native = {  # each dataset's native (nx, nt)
         "burgers_shock": (256, 100), "burgers_twosin": (513, 101),
         "twosin_dataset": (513, 101), "abgrall_dataset": (257, 257),
-        "euler": (1500, 157),
+        "euler": (1500, 157), "euler_dataset": (300, 157),
     }[args.kind]
     nx = args.nx or native[0]
     nt = args.nt or native[1]
@@ -513,11 +513,16 @@ def cmd_generate_data(args):
         )
     elif args.kind == "twosin_dataset":
         # faithful reproduction of TwoSin_burgers_shock.mat (identified IC +
-        # measured adaptive-CFL clock; max 3.2% vs the stored artifact)
+        # measured adaptive-CFL clock; max 1.4% vs the stored artifact)
         data = g.make_twosin_grid(nx=nx, nt=nt)
     elif args.kind == "abgrall_dataset":
-        # faithful reproduction of Abgrall_burgers_shock.mat (max 2.7%)
+        # faithful reproduction of Abgrall_burgers_shock.mat (max 1.7%)
         data = g.make_abgrall_burgers_grid(nx=nx, nt=nt)
+    elif args.kind == "euler_dataset":
+        # Abgrall_eulers.mat from the EXACT Riemann solution (zero oracle
+        # error; the stored DG artifact itself measures rho 2.3%/u 28%/
+        # E 2.7% max-column error against it — PARITY §2)
+        data = g.make_abgrall_eulers_grid(nx=nx, nt=nt)
     elif args.kind == "euler":
         data = g.euler_solve(nx=nx, n_snapshots=nt, t_final=args.t_final)
     else:
@@ -690,7 +695,8 @@ def main(argv=None):
     )
     p.add_argument("--kind", required=True,
                    choices=["burgers_shock", "burgers_twosin",
-                            "twosin_dataset", "abgrall_dataset", "euler"])
+                            "twosin_dataset", "abgrall_dataset",
+                            "euler_dataset", "euler"])
     p.add_argument("--out", required=True, help="output .mat path")
     p.add_argument("--nx", type=int, default=None,
                    help="grid points (default: the dataset's native size)")
