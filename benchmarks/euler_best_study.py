@@ -51,12 +51,35 @@ def emit(rec):
     print(json.dumps(rec), flush=True)
 
 
-def run(base_seed, extra=None):
+def run(base_seed, extra=None, solo_tails=False):
     exp = override(get_preset("euler_weak_fast"), {**HYBRID, **(extra or {})})
     tr = Trainer(exp)
     seeds = [base_seed + i for i in range(8)]
     t0 = time.time()
-    stacked, summaries = run_ensemble(tr, seeds)
+    if solo_tails:
+        # compile-cache-friendly variant: the vmapped Adam phase program and
+        # the SOLO hybrid-tail program are both in the persistent cache
+        # (r2 ensembles / r3 lockin study); the vmapped-L-BFGS program is a
+        # fresh wide-net compile (the known pathological remote-compile
+        # case). Run Adam as one vmapped ensemble, then the 50-epoch L-BFGS
+        # tail per member from its unstacked state (identical math — the
+        # members are independent).
+        from pinns_tpu.parallel.ensemble import stack_states, unstack_states
+
+        exp_adam = override(exp, {
+            "optimizer.kind": "adam",
+            "train.epochs": exp.optimizer.switch_epoch,
+        })
+        stacked_a, _ = run_ensemble(Trainer(exp_adam), seeds)
+        members = unstack_states(stacked_a, len(seeds))
+        tailed, summaries = [], []
+        for m in members:
+            st, s = tr.train(m)
+            tailed.append(st)
+            summaries.append(s)
+        stacked = stack_states(tailed)
+    else:
+        stacked, summaries = run_ensemble(tr, seeds)
     wall = round(time.time() - t0, 1)
     scores = selection_scores(tr, stacked, len(seeds), seed=base_seed + 777)
     sel = select_member(scores)
@@ -81,6 +104,9 @@ def run(base_seed, extra=None):
 if __name__ == "__main__":
     args = sys.argv[1:]
     extra = None
+    solo_tails = "--solo-tails" in args
+    if solo_tails:
+        args.remove("--solo-tails")
     if "--toy" in args:  # CPU flush-test of the whole path at toy scale
         args.remove("--toy")
         import jax
@@ -95,4 +121,4 @@ if __name__ == "__main__":
         }
     bases = [int(s) for s in args] or [1234, 7000, 99000]
     for b in bases:
-        run(b, extra)
+        run(b, extra, solo_tails=solo_tails)
