@@ -104,8 +104,13 @@ def run(base_seed, extra=None, solo_tails=False):
 if __name__ == "__main__":
     args = sys.argv[1:]
     extra = None
-    solo_tails = "--solo-tails" in args
-    if solo_tails:
+    # solo-tails is the DEFAULT: the vmapped wide-net L-BFGS program is a
+    # fresh pathological remote compile (~60+ min observed on 8x200);
+    # --vmapped opts into it explicitly
+    solo_tails = "--vmapped" not in args
+    if "--vmapped" in args:
+        args.remove("--vmapped")
+    if "--solo-tails" in args:
         args.remove("--solo-tails")
     if "--toy" in args:  # CPU flush-test of the whole path at toy scale
         args.remove("--toy")
