@@ -322,12 +322,18 @@ def euler_exact_riemann(
             a, b = 2.0 / (gp1 * rk), gm1 / gp1 * pk
             s = np.sqrt(a / (p + b))
             return (p - pk) * s, s * (1.0 - 0.5 * (p - pk) / (p + b))
-        # rarefaction branch
+        # rarefaction branch: f = 2 c_K/(γ-1) ((p/p_K)^((γ-1)/2γ) - 1),
+        # f' = (1/(ρ_K c_K)) (p/p_K)^(-(γ+1)/2γ)  (Toro eq. 4.7)
         pr_ = (p / pk) ** (gm1 / (2.0 * gamma))
         return (
             2.0 * ck / gm1 * (pr_ - 1.0),
-            pr_ / (rk * ck) * (pk / p) ** 0.5 * (p / pk) ** (0.5 / gamma),
+            (p / pk) ** (-gp1 / (2.0 * gamma)) / (rk * ck),
         )
+
+    def g_of(p):
+        fl, dfl = f_and_df(p, rl, pl, cl)
+        fr, dfr = f_and_df(p, rr, pr, cr)
+        return fl + fr + du, dfl + dfr
 
     # Newton for p* (two-rarefaction initial guess, positivity-clamped)
     du = ur - ul
@@ -336,16 +342,30 @@ def euler_exact_riemann(
         / (cl / pl ** (gm1 / (2 * gamma)) + cr / pr ** (gm1 / (2 * gamma)))
     ) ** (2.0 * gamma / gm1)
     p = max(1e-10, p_tr)
+    converged = False
     for _ in range(60):
-        fl, dfl = f_and_df(p, rl, pl, cl)
-        fr, dfr = f_and_df(p, rr, pr, cr)
-        g = fl + fr + du
-        step = g / (dfl + dfr)
-        p_new = max(1e-12, p - step)
+        g, dg = g_of(p)
+        p_new = max(1e-12, p - g / dg)
         if abs(p_new - p) < 1e-14 * max(1.0, p):
             p = p_new
+            converged = True
             break
         p = p_new
+    if not converged:
+        # g(p) is strictly increasing (both f_K' > 0), so bisection is
+        # guaranteed; Newton can stall only on extreme states
+        lo, hi = 1e-12, max(p, pl, pr)
+        while g_of(hi)[0] < 0.0:
+            hi *= 2.0
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if g_of(mid)[0] < 0.0:
+                lo = mid
+            else:
+                hi = mid
+            if hi - lo < 1e-15 * max(1.0, hi):
+                break
+        p = 0.5 * (lo + hi)
     pstar = p
     fl, _ = f_and_df(pstar, rl, pl, cl)
     fr, _ = f_and_df(pstar, rr, pr, cr)

@@ -311,3 +311,36 @@ def test_stored_euler_artifact_error_vs_exact_documented():
     assert max(errs["u"]) < 0.30
     # sanity: mid/late columns are much closer than the startup transient
     assert errs["u"][-1] < 0.06
+
+
+def test_exact_riemann_toro_star_states():
+    """Pin p* against Toro's published star pressures (Riemann Solvers and
+    Numerical Methods, 3rd ed., table 4.3) — including the hard cases where
+    a mis-scaled Newton derivative (the round-4 rarefaction-branch bug)
+    stalls or converges slowly: the 1e5 pressure-ratio blast (test 3), the
+    colliding-shocks state (test 4), and the double rarefaction (test 2).
+    p* is read off the solution at the contact (both sides must agree)."""
+    from pinns_tpu.data.generators import euler_exact_riemann
+
+    cases = [
+        # (left, right, published p*, tol matching the table's rounding)
+        ((1.0, 0.0, 1.0), (0.125, 0.0, 0.1), 0.30313, 2e-5),     # Sod
+        ((1.0, -2.0, 0.4), (1.0, 2.0, 0.4), 0.00189, 3e-3),      # test 2
+        ((1.0, 0.0, 1000.0), (1.0, 0.0, 0.01), 460.894, 2e-6),   # test 3
+        ((5.99924, 19.5975, 460.894),
+         (5.99242, -6.19633, 46.0950), 1691.64, 1e-5),           # test 4
+    ]
+    for left, right, pstar, tol in cases:
+        # locate the contact: it rides at xi = u*, so u(xi) - xi crosses
+        # zero exactly there (inside a fan u - xi = +/-c != 0; in the outer
+        # states the sign is fixed) — robust even when rho is continuous
+        # across the contact (the symmetric double rarefaction).
+        t = 1e-3
+        xi = np.linspace(-40.0, 40.0, 400001)
+        w = euler_exact_riemann(0.5 + xi * t, t, left, right)
+        u, p = w[:, 1], w[:, 2]
+        s = u - xi
+        i = int(np.argmin(np.abs(s)))
+        assert abs(s[i]) < 1e-2, (left, right)
+        rel = abs(p[i] - pstar) / pstar
+        assert rel < tol, (left, right, p[i], pstar)
