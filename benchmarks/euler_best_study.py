@@ -6,124 +6,55 @@ The hybrid Adam->L-BFGS tail on euler_weak_fast reached the best
 fast-budget numbers measured (rho/u/E .0208/.0453/.0142) on seed 1234 but
 failed solo seed replication (u 0.176/0.105 on seeds 7/99 — PARITY §4o):
 1-in-3 seeds improved. The shipped mitigation was "run several seeds and
-pick the best", and every piece exists — vmapped 8-member ensembles run
-the FULL hybrid schedule, and selection_scores ranks members WITHOUT
-ground truth (PARITY §4p) — but the composed recipe was never measured.
+pick the best", and every piece exists — ensembles run the FULL hybrid
+schedule, and selection_scores ranks members WITHOUT ground truth (PARITY
+§4p) — but the composed recipe was never measured.
 
-This runs THREE independent 8-member hybrid ensembles (disjoint seed
-blocks), selects each run's best member by the ground-truth-free score,
-and reports the selected member's TRUE rel-L2 next to the oracle-best
-member (selection regret). Ship gate: if the median selected u over the
-3 runs beats the shipped solo record (u 0.0544 @ 1M; fast-budget band
-0.064-0.076), promote as preset `euler_weak_best`.
+This runs independent 8-member hybrid ensembles (disjoint seed blocks),
+selects each run's best member by the ground-truth-free score, and reports
+the selected member's TRUE rel-L2 next to the oracle-best member
+(selection regret). Ship gate: if the median selected u beats the shipped
+solo record (u 0.0544 @ 1M; fast-budget band 0.064-0.076), promote as
+preset `euler_weak_best`.
+
+The training + selection flow is shared with uq_front_study.py (the same
+base-seed ensemble feeds both studies), so this is a thin wrapper over
+r4_combo_study.py running only the euler_best half. Solo-tails is the
+DEFAULT: the vmapped wide-net L-BFGS program is a fresh pathological
+remote compile (~60+ min observed on 8x200); --vmapped opts into the
+one-program variant explicitly.
 
 Usage:
-  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/euler_best_study.py [base_seeds...]
-Writes benchmarks/results/r4_euler_best.jsonl.
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/euler_best_study.py \
+      [base_seeds...] [--vmapped] [--toy] [--resume]
+Writes benchmarks/results/r4_euler_best.jsonl. The first base seed must be
+the preset seed (1234) to reuse the shared checkpointed ensemble; other
+seeds train fresh.
 """
 
-import json
+import os
 import sys
-import time
 
-from pinns_tpu.config import override
-from pinns_tpu.experiments import get_preset
-from pinns_tpu.parallel.ensemble import (
-    run_ensemble,
-    select_member,
-    selection_scores,
-)
-from pinns_tpu.train import Trainer
-
-OUT = "benchmarks/results/r4_euler_best.jsonl"
-
-HYBRID = {
-    "optimizer.kind": "hybrid",
-    "optimizer.switch_epoch": 200_000,
-    "train.epochs": 200_050,
-    "train.log_every": 0,
-}
-
-
-def emit(rec):
-    with open(OUT, "a") as f:
-        f.write(json.dumps(rec) + "\n")
-    print(json.dumps(rec), flush=True)
-
-
-def run(base_seed, extra=None, solo_tails=False):
-    exp = override(get_preset("euler_weak_fast"), {**HYBRID, **(extra or {})})
-    tr = Trainer(exp)
-    seeds = [base_seed + i for i in range(8)]
-    t0 = time.time()
-    if solo_tails:
-        # compile-cache-friendly variant: the vmapped Adam phase program and
-        # the SOLO hybrid-tail program are both in the persistent cache
-        # (r2 ensembles / r3 lockin study); the vmapped-L-BFGS program is a
-        # fresh wide-net compile (the known pathological remote-compile
-        # case). Run Adam as one vmapped ensemble, then the 50-epoch L-BFGS
-        # tail per member from its unstacked state (identical math — the
-        # members are independent).
-        from pinns_tpu.parallel.ensemble import stack_states, unstack_states
-
-        exp_adam = override(exp, {
-            "optimizer.kind": "adam",
-            "train.epochs": exp.optimizer.switch_epoch,
-        })
-        stacked_a, _ = run_ensemble(Trainer(exp_adam), seeds)
-        members = unstack_states(stacked_a, len(seeds))
-        tailed, summaries = [], []
-        for m in members:
-            st, s = tr.train(m)
-            tailed.append(st)
-            summaries.append(s)
-        stacked = stack_states(tailed)
-    else:
-        stacked, summaries = run_ensemble(tr, seeds)
-    wall = round(time.time() - t0, 1)
-    scores = selection_scores(tr, stacked, len(seeds), seed=base_seed + 777)
-    sel = select_member(scores)
-    rel = [
-        {k: round(float(v), 4) for k, v in s.items() if "rel_l2" in k}
-        for s in summaries
-    ]
-    oracle = min(range(len(rel)), key=lambda i: rel[i]["rel_l2_u"])
-    emit({
-        "tag": f"hybrid_ens8_base{base_seed}",
-        "wall_s": wall,
-        "members": rel,
-        "scores": [round(s["score"], 6) for s in scores],
-        "selected": sel,
-        "selected_rel": rel[sel],
-        "oracle": oracle,
-        "oracle_rel": rel[oracle],
-        "regret_u": round(rel[sel]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4),
-    })
-
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import r4_combo_study as combo  # noqa: E402
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    extra = None
-    # solo-tails is the DEFAULT: the vmapped wide-net L-BFGS program is a
-    # fresh pathological remote compile (~60+ min observed on 8x200);
-    # --vmapped opts into it explicitly
-    solo_tails = "--vmapped" not in args
-    if "--vmapped" in args:
-        args.remove("--vmapped")
-    if "--solo-tails" in args:
-        args.remove("--solo-tails")
-    if "--toy" in args:  # CPU flush-test of the whole path at toy scale
-        args.remove("--toy")
+    vmapped = "--vmapped" in args
+    toy = "--toy" in args
+    resume = "--resume" in args
+    args = [a for a in args if not a.startswith("--")]
+    if toy:  # CPU flush-test of the whole path at toy scale
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        OUT = OUT.replace(".jsonl", "_toy.jsonl")
-        extra = {
-            "model.layers": (2, 12, 12, 3), "sampling.n_f": 128,
-            "train.epochs": 60, "train.chunk": 30,
-            "optimizer.switch_epoch": 30, "optimizer.lbfgs.max_iters": 5,
-            "sampling.t_curriculum_epochs": 0,
-        }
+        combo.BEST_OUT = combo.BEST_OUT.replace(".jsonl", "_toy.jsonl")
+        combo.CKPT = combo.CKPT.replace(".ckpt", "_toy.ckpt")
     bases = [int(s) for s in args] or [1234, 7000, 99000]
-    for b in bases:
-        run(b, extra, solo_tails=solo_tails)
+    # the preset-seed block is the shared (checkpointable) ensemble; any
+    # other bases run as independent replications
+    base0 = 1234
+    skip_base = base0 not in bases
+    extra = [b for b in bases if b != base0]
+    combo.main(extra, resume=resume, toy=toy, skip_base=skip_base,
+               halves=("best",), vmapped=vmapped)

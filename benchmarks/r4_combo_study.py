@@ -128,17 +128,10 @@ def uq_half(tr, stacked, summaries, wall):
             emit(UQ_OUT, {"tag": "artifact", "path": path})
 
 
-def tails_half(tr_tail, stacked_adam, base_seed, n, adam_wall):
-    t0 = time.time()
-    members = unstack_states(stacked_adam, n)
-    tailed, summaries = [], []
-    for m in members:
-        st, s = tr_tail.train(m)
-        tailed.append(st)
-        summaries.append(s)
-    stacked = stack_states(tailed)
-    wall = round(adam_wall + time.time() - t0, 1)
-    scores = selection_scores(tr_tail, stacked, n, seed=base_seed + 777)
+def select_and_emit(tr, stacked, summaries, base_seed, n, wall):
+    """Ground-truth-free selection + regret row (shared with
+    euler_best_study.py, which delegates here)."""
+    scores = selection_scores(tr, stacked, n, seed=base_seed + 777)
     sel = select_member(scores)
     rel = _rel(summaries)
     oracle = min(range(len(rel)), key=lambda i: rel[i]["rel_l2_u"])
@@ -155,7 +148,28 @@ def tails_half(tr_tail, stacked_adam, base_seed, n, adam_wall):
     })
 
 
-def main(bases, resume=False, toy=False, skip_base=False):
+def tails_half(tr_tail, stacked_adam, base_seed, n, adam_wall):
+    t0 = time.time()
+    members = unstack_states(stacked_adam, n)
+    tailed, summaries = [], []
+    for m in members:
+        st, s = tr_tail.train(m)
+        tailed.append(st)
+        summaries.append(s)
+    stacked = stack_states(tailed)
+    wall = round(adam_wall + time.time() - t0, 1)
+    select_and_emit(tr_tail, stacked, summaries, base_seed, n, wall)
+
+
+def main(bases, resume=False, toy=False, skip_base=False,
+         halves=("uq", "best"), vmapped=False):
+    """`halves` selects which studies run on the shared ensemble;
+    `vmapped=True` opts into the one-program vmapped hybrid (the known
+    pathological fresh wide-net L-BFGS remote compile — euler_best_study's
+    --vmapped flag), which replaces the Adam+solo-tails split."""
+    if vmapped and "uq" in halves:
+        raise ValueError("vmapped hybrid has no Adam-only states for the "
+                         "UQ half — use halves=('best',)")
     ov = {"train.log_every": 0}
     if toy:
         ov.update(TOY)
@@ -165,17 +179,31 @@ def main(bases, resume=False, toy=False, skip_base=False):
     tr_adam = Trainer(exp_adam)
     tr_tail = Trainer(exp_tail)
 
+    def one_vmapped(base_seed, seeds):
+        t0 = time.time()
+        stacked, summaries = run_ensemble(tr_tail, seeds)
+        select_and_emit(tr_tail, stacked, summaries, base_seed, len(seeds),
+                        round(time.time() - t0, 1))
+
     # -- shared block: base seed == preset seed (1234) --------------------
     if not skip_base:
         base = exp_adam.train.seed
         seeds = [base + i for i in range(8)]
-        stacked, summaries, wall = adam_ensemble(tr_adam, seeds, resume)
-        uq_half(tr_adam, stacked, summaries, wall)
-        tails_half(tr_tail, stacked, base, len(seeds), wall)
+        if vmapped:
+            one_vmapped(base, seeds)
+        else:
+            stacked, summaries, wall = adam_ensemble(tr_adam, seeds, resume)
+            if "uq" in halves:
+                uq_half(tr_adam, stacked, summaries, wall)
+            if "best" in halves:
+                tails_half(tr_tail, stacked, base, len(seeds), wall)
 
     # -- extra independent euler_best replications -------------------------
     for b in bases:
         seeds = [b + i for i in range(8)]
+        if vmapped:
+            one_vmapped(b, seeds)
+            continue
         t0 = time.time()
         st, _ = run_ensemble(tr_adam, seeds)
         tails_half(tr_tail, st, b, len(seeds),

@@ -1101,7 +1101,8 @@ class Trainer:
                 t0 = time.time()
             elif exp.train.stop_tol > 0.0:
                 last = {"loss": float(metrics["loss"][-1])}
-            if (want_print or exp.train.stop_tol > 0.0) and (
+            # `last` is assigned above whenever stop_tol > 0 (either branch)
+            if (
                 exp.train.stop_tol > 0.0
                 and abs(last["loss"]) <= exp.train.stop_tol
             ):

@@ -126,11 +126,27 @@ def plot_uncertainty(
         if cal_row:
             from pinns_tpu.parallel.ensemble import mond_band_factors
 
-            k_grid = mond_band_factors(cal_row, std, default=band_k)
+            # front-aware ('dx') calibrations bin each point by its own
+            # predicted |d(field)/dx| — available when the uq dict came
+            # from ensemble_predict(want_dx=True); without it
+            # mond_band_factors falls back to the global k_conf95 rather
+            # than binning std against the wrong edges
+            dx = uq[name].get("dx")
+            feat = _grid_pred(ds, dx) if (
+                dx is not None
+                and cal_row.get("mond_feature", "std") == "dx"
+            ) else None
+            k_grid = mond_band_factors(
+                cal_row, std, default=band_k, feature=feat
+            )
             # label what is actually drawn: per-point Mondrian factors
-            # only when the row carries them, else the constant k_conf95
+            # only when the row carries them AND the binning feature is
+            # available, else the constant k_conf95
+            binned = bool(cal_row.get("mond_k")) and (
+                cal_row.get("mond_feature", "std") != "dx" or feat is not None
+            )
             band_label = (
-                "$\\pm k_{95}(\\sigma)\\,\\sigma$" if cal_row.get("mond_k")
+                "$\\pm k_{95}(\\sigma)\\,\\sigma$" if binned
                 else f"$\\pm {float(cal_row.get('k_conf95', band_k)):.1f}"
                 "\\sigma$"
             )

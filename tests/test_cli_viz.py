@@ -193,3 +193,43 @@ def test_plot_uncertainty(tmp_path):
         calibration=uq_calibration(tr, stacked),
     )
     assert os.path.exists(out2) and os.path.getsize(out2) > 10_000
+
+
+def test_plot_uncertainty_front_aware_calibration(tmp_path):
+    """A mond_feature='dx' calibration draws per-point bands binned on the
+    predicted |du/dx| when the uq dict carries it (ensemble_predict
+    want_dx=True), and falls back to the global conformal factor — never
+    std-binned-on-dx-edges — when it does not."""
+    from pinns_tpu.config import override
+    from pinns_tpu.experiments import get_preset
+    from pinns_tpu.parallel.ensemble import (
+        ensemble_predict,
+        init_ensemble_states,
+        uq_calibration,
+    )
+    from pinns_tpu.train import Trainer
+    from pinns_tpu.viz.plots import plot_uncertainty
+
+    exp = override(get_preset("abgrall_l2"), {
+        "model.layers": (2, 12, 12, 1), "sampling.n_f": 128,
+    })
+    tr = Trainer(exp)
+    stacked = init_ensemble_states(tr, seeds=[0, 1, 2])
+    cal = uq_calibration(tr, stacked, mond_feature="dx")
+    assert cal["u"]["mond_feature"] == "dx"
+    # with the dx feature present: binned per-point factors
+    uq_dx = ensemble_predict(tr, stacked, tr.problem.dataset.X_star,
+                             want_dx=True)
+    assert "dx" in uq_dx["u"]
+    out = plot_uncertainty(
+        tr.problem.dataset, uq_dx, out_path=str(tmp_path / "uq_dx.png"),
+        calibration=cal,
+    )
+    assert os.path.exists(out) and os.path.getsize(out) > 10_000
+    # without it: must still render (global-factor fallback inside)
+    uq_plain = ensemble_predict(tr, stacked, tr.problem.dataset.X_star)
+    out2 = plot_uncertainty(
+        tr.problem.dataset, uq_plain,
+        out_path=str(tmp_path / "uq_dx_nofeat.png"), calibration=cal,
+    )
+    assert os.path.exists(out2) and os.path.getsize(out2) > 10_000

@@ -455,6 +455,11 @@ def test_front_aware_mondrian_bins_fix_unresolved_front():
     ks = mond_band_factors(row_dx, std, feature=dx)
     assert ks[np.argmax(dx)] == pytest.approx(max(row_dx["mond_k"]))
     assert ks[np.argmin(dx)] == pytest.approx(row_dx["mond_k"][0])
+    # a dx-calibrated row WITHOUT the dx feature must NOT bin the std
+    # values against |dx| edges (silently wrong bins) — it falls back to
+    # the constant global conformal factor, like ServedModel.band_ks
+    ks_nofeat = mond_band_factors(row_dx, std)
+    np.testing.assert_allclose(ks_nofeat, row_dx["k_conf95"])
 
 
 def test_uq_calibration_reports_conformal_keys():
