@@ -621,10 +621,13 @@ def main(argv=None):
         "artifact's meta.json",
     )
     p.add_argument(
-        "--mond-feature", choices=("std", "dx"), default="std",
-        help="Mondrian conformal binning feature: predicted std, or the "
-        "front-aware predicted |d(field)/dx| (the artifact then exports "
-        "{field}_dx and serves bands binned on it)",
+        "--mond-feature", choices=("std", "dx"), default="dx",
+        help="Mondrian conformal binning feature: the front-aware "
+        "predicted |d(field)/dx| (default — measured on the real Euler "
+        "ensemble it restores shock-conditional coverage the std taxonomy "
+        "misses: rho .85->.99 at the front, PARITY §4r; the artifact then "
+        "exports {field}_dx and serves bands binned on it) or the "
+        "round-3 predicted-std taxonomy",
     )
     p.set_defaults(fn=cmd_export)
 
