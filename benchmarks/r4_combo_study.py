@@ -121,9 +121,12 @@ def uq_half(tr, stacked, summaries, wall):
         }})
         if feature == "dx":
             os.makedirs(ART, exist_ok=True)
+            # toy flush-tests must not overwrite the real artifact
+            name = ("euler_ens8_dx_toy" if UQ_OUT.endswith("_toy.jsonl")
+                    else "euler_ens8_dx")
             path = export_ensemble(
                 tr, stacked.params,
-                os.path.join(ART, "euler_ens8_dx"), calibration=cal,
+                os.path.join(ART, name), calibration=cal,
             )
             emit(UQ_OUT, {"tag": "artifact", "path": path})
 
