@@ -61,6 +61,31 @@ def test_export_euler_multifield(tmp_path):
     np.testing.assert_allclose(got["rho"], want["rho"], rtol=1e-5, atol=1e-6)
 
 
+_ENS8_DX = "benchmarks/results/r4_artifacts/euler_ens8_dx"
+
+
+@pytest.mark.skipif(not os.path.isdir(_ENS8_DX), reason="committed artifact absent")
+def test_committed_ens8_dx_artifact_serves_on_cpu():
+    """The committed round-4 deliverable (PARITY §4r): the dx-calibrated
+    8-member Euler ensemble artifact loads with jax alone on CPU, serves
+    mean+std+band fields, and its baked calibration is the dx taxonomy
+    with the measured shock coverage (>=.94 per field)."""
+    served = load_exported(_ENS8_DX)
+    assert served.meta["ensemble_members"] == 8
+    assert "cpu" in served._exported.platforms
+    for field in ("rho", "u", "E"):
+        cal = served.meta["calibration"][field]
+        assert cal["mond_feature"] == "dx"
+        assert cal["cov_mond95_shock"] >= 0.94
+        assert cal["cov_mond95"] >= 0.95
+    out = served.predict(np.array([[0.25, 0.1], [0.75, 0.15]], np.float32))
+    for field in ("rho", "u", "E"):
+        assert out[field].shape == (2, 1)
+        assert np.all(np.isfinite(out[field]))
+        assert out[f"{field}_std"].shape == (2, 1)
+        assert out[f"{field}_dx"].shape == (2, 1)
+
+
 def test_export_artifact_is_self_contained(tmp_path):
     """Loading uses only the artifact dir — no Experiment/preset needed."""
     tr, state = _trained("abgrall_l2")
