@@ -131,14 +131,18 @@ def uq_half(tr, stacked, summaries, wall):
             emit(UQ_OUT, {"tag": "artifact", "path": path})
 
 
-def select_and_emit(tr, stacked, summaries, base_seed, n, wall):
+def select_and_emit(tr, stacked, summaries, base_seed, n, wall,
+                    anchor_params=None):
     """Ground-truth-free selection + regret row (shared with
-    euler_best_study.py, which delegates here)."""
-    scores = selection_scores(tr, stacked, n, seed=base_seed + 777)
+    euler_best_study.py, which delegates here). With ``anchor_params``
+    (the Adam ensemble the tails started from) the consensus-distance
+    selector is graded alongside the residual score."""
+    scores = selection_scores(tr, stacked, n, seed=base_seed + 777,
+                              anchor_params=anchor_params)
     sel = select_member(scores)
     rel = _rel(summaries)
     oracle = min(range(len(rel)), key=lambda i: rel[i]["rel_l2_u"])
-    emit(BEST_OUT, {
+    rec = {
         "tag": f"hybrid_ens8_base{base_seed}",
         "wall_s": wall,
         "members": rel,
@@ -148,7 +152,18 @@ def select_and_emit(tr, stacked, summaries, base_seed, n, wall):
         "oracle": oracle,
         "oracle_rel": rel[oracle],
         "regret_u": round(rel[sel]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4),
-    })
+    }
+    if anchor_params is not None:
+        sel_c = select_member(scores, by="consensus")
+        rec.update({
+            "consensus": [round(s["consensus"], 6) for s in scores],
+            "selected_consensus": sel_c,
+            "selected_consensus_rel": rel[sel_c],
+            "regret_consensus_u": round(
+                rel[sel_c]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4
+            ),
+        })
+    emit(BEST_OUT, rec)
 
 
 def tails_half(tr_tail, stacked_adam, base_seed, n, adam_wall):
@@ -161,7 +176,8 @@ def tails_half(tr_tail, stacked_adam, base_seed, n, adam_wall):
         summaries.append(s)
     stacked = stack_states(tailed)
     wall = round(adam_wall + time.time() - t0, 1)
-    select_and_emit(tr_tail, stacked, summaries, base_seed, n, wall)
+    select_and_emit(tr_tail, stacked, summaries, base_seed, n, wall,
+                    anchor_params=stacked_adam.params)
 
 
 def main(bases, resume=False, toy=False, skip_base=False,

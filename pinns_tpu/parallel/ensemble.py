@@ -143,6 +143,7 @@ def selection_scores(
     n: int,
     seed: int = 0,
     n_points: int = 4096,
+    anchor_params=None,
 ) -> List[dict]:
     """Ground-truth-FREE per-member model-selection scores.
 
@@ -162,11 +163,21 @@ def selection_scores(
     - ``score``: ``data_weight * data_term + resid_ms`` — the training
       objective with the ADMM/penalty machinery replaced by the plain
       mean-square residual (z/dual state is per-member optimizer state, not
-      a comparable quality signal).
+      a comparable quality signal);
+    - ``consensus`` (only when ``anchor_params`` is given): the member's
+      mean per-field relative-L2 distance to the ANCHOR ensemble's mean
+      prediction at the same points. The natural anchor is the stacked
+      Adam ensemble the L-BFGS tails started from — always in hand in the
+      ensemble-then-tail workflow, and a measured-good predictor in its own
+      right (PARITY §4r: the Adam mean beats the median member). Rationale:
+      the residual score stops discriminating inside the low-residual
+      cluster (PARITY §4r — the regret-.10 pick had the LOWEST residual),
+      but tail regressions move the predicted FIELDS far from the
+      consensus, which this distance sees directly.
 
     Returns one dict per member. Measured selector quality (rank
     correlation vs oracle rel-L2 and the regret of the argmin member on the
-    shipped shock recipes): PARITY §4p.
+    shipped shock recipes): PARITY §4p/§4r.
     """
     from pinns_tpu.data.sampling import uniform_box
     from pinns_tpu.train.trainer import make_data_term
@@ -195,12 +206,46 @@ def selection_scores(
 
     d, ms = jax.jit(jax.vmap(one))(stacked.params)
     d, ms = np.asarray(d), np.asarray(ms)
+
+    consensus = None
+    if anchor_params is not None:
+        from pinns_tpu.train.evaluate import predict_fields
+
+        def primaries(params):
+            # primary fields only — the f/f1-f3 residual diagnostics are
+            # what resid_ms already measures
+            return {
+                k: v.astype(jnp.float32)
+                for k, v in predict_fields(problem, params, pts).items()
+                if not (k == "f" or (k[0] == "f" and k[1:].isdigit()))
+            }
+
+        anchor = jax.jit(jax.vmap(primaries))(anchor_params)
+        anchor_mean = {k: jnp.mean(v, axis=0) for k, v in anchor.items()}
+        names = sorted(anchor_mean)
+
+        def dist(params):
+            p = primaries(params)
+            per = [
+                jnp.linalg.norm(p[k] - anchor_mean[k])
+                / (jnp.linalg.norm(anchor_mean[k]) + 1e-12)
+                for k in names
+            ]
+            return sum(per) / len(per)
+
+        consensus = np.asarray(jax.jit(jax.vmap(dist))(stacked.params))
+
     return [
         {
             "member": i,
             "data_term": float(d[i]),
             "resid_ms": float(ms[i]),
             "score": float(w * d[i] + ms[i]),
+            **(
+                {"consensus": float(consensus[i])}
+                if consensus is not None
+                else {}
+            ),
         }
         for i in range(n)
     ]

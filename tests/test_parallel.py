@@ -184,6 +184,47 @@ def test_selection_scores_rank_without_ground_truth(preset):
     assert oracle[0]["rel_l2_u"] < oracle[1]["rel_l2_u"]
 
 
+def test_selection_consensus_distance_to_anchor_mean():
+    """The consensus selector (PARITY §4r flank: residual score saturates
+    inside the low-residual cluster) ranks members by field distance to the
+    anchor ensemble's mean prediction: an intact member must beat a
+    sabotaged copy, and without anchor_params the key is absent."""
+    from pinns_tpu.parallel.ensemble import select_member, selection_scores
+
+    tr = Trainer(
+        override(
+            get_preset("twosin_weak"),
+            {
+                "model.layers": (2, 16, 16, 1),
+                "train.epochs": 100,
+                "train.chunk": 50,
+                "sampling.n_f": 256,
+            },
+        )
+    )
+    stacked = init_ensemble_states(tr, [0, 1])
+    stacked, _ = make_ensemble_chunk(tr, 60)(stacked)
+    anchor_params = stacked.params  # the pre-tail "Adam" ensemble
+
+    assert "consensus" not in selection_scores(tr, stacked, 2, n_points=256)[0]
+
+    def perturb(leaf):
+        key = jax.random.PRNGKey(leaf.size % 101)
+        return leaf + 0.5 * jax.random.normal(key, leaf.shape, leaf.dtype)
+
+    member1 = jax.tree_util.tree_map(lambda x: perturb(x[1]), stacked.params)
+    params = jax.tree_util.tree_map(
+        lambda s, m: s.at[1].set(m), stacked.params, member1
+    )
+    tailed = stacked._replace(params=params)
+
+    scores = selection_scores(
+        tr, tailed, 2, n_points=256, anchor_params=anchor_params
+    )
+    assert scores[0]["consensus"] < scores[1]["consensus"]
+    assert select_member(scores, by="consensus") == 0
+
+
 def test_ensemble_sharded_over_mesh():
     tr = Trainer(_exp(**{"sampling.n_f": 256}))
     mesh = make_mesh(data=2, ensemble=4)
