@@ -18,8 +18,11 @@ chunk timing, bench.py methodology) AND the converged rel-L2 at a fixed
   max        bf16, keep {}, mixed_elementwise (the 11.35M policy)
 
 Usage:
-  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/keepstreams_study.py [tags]
-Writes benchmarks/results/r4_keepstreams.jsonl.
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/keepstreams_study.py [tags] [--seed N]
+Writes benchmarks/results/r4_keepstreams.jsonl. ``--seed`` re-runs cells
+under a different train seed (rows tagged ``{tag}_s{N}``) — the quality
+flank distinguishing policy signal from single-trajectory noise at the
+short budget.
 """
 
 import json
@@ -73,19 +76,20 @@ def throughput(trainer, n_f, chunk=10, n_chunks=3):
     return n_f / (best / (n_chunks * chunk))
 
 
-def run(tag, ov):
+def run(tag, ov, seed=None, skip_throughput=False):
     exp = override(get_preset("burgers_scale"), {
         "train.epochs": EPOCHS, "train.chunk": 100, "train.log_every": 0,
+        **({"train.seed": seed} if seed is not None else {}),
         **ov,
     })
     tr = Trainer(exp)
-    pts = throughput(
+    pts = 0 if skip_throughput else throughput(
         Trainer(override(exp, {"train.chunk": 10})), exp.sampling.n_f
     )
     t0 = time.time()
     _, s = tr.train()
     emit({
-        "tag": tag,
+        "tag": tag if seed is None else f"{tag}_s{seed}",
         "epochs": EPOCHS,
         "pts_per_sec": int(pts),
         "wall_s": round(time.time() - t0, 1),
@@ -94,8 +98,15 @@ def run(tag, ov):
 
 
 if __name__ == "__main__":
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    seed = None
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i:i + 2]
+    only = set(args)
     for tag, ov in POLICIES:
         if only and tag not in only:
             continue
-        run(tag, ov)
+        # seed flank: throughput is seed-independent (same program), skip it
+        run(tag, ov, seed=seed, skip_throughput=seed is not None)

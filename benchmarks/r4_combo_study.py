@@ -234,6 +234,7 @@ if __name__ == "__main__":
     toy = "--toy" in args
     resume = "--resume" in args
     skip_base = "--skip-base" in args
+    best_only = "--best-only" in args
     args = [a for a in args if not a.startswith("--")]
     if toy:
         import jax
@@ -243,4 +244,5 @@ if __name__ == "__main__":
         BEST_OUT = BEST_OUT.replace(".jsonl", "_toy.jsonl")
         CKPT = CKPT.replace(".ckpt", "_toy.ckpt")
     main([int(s) for s in args], resume=resume, toy=toy,
-         skip_base=skip_base)
+         skip_base=skip_base,
+         halves=("best",) if best_only else ("uq", "best"))

@@ -177,7 +177,7 @@ def selection_scores(
 
     Returns one dict per member. Measured selector quality (rank
     correlation vs oracle rel-L2 and the regret of the argmin member on the
-    shipped shock recipes): PARITY §4p/§4r.
+    shipped shock recipes): PARITY §4r.
     """
     from pinns_tpu.data.sampling import uniform_box
     from pinns_tpu.train.trainer import make_data_term
