@@ -35,6 +35,7 @@ import time
 from pinns_tpu.config import override
 from pinns_tpu.experiments import get_preset
 from pinns_tpu.parallel.ensemble import (
+    ensemble_predict,
     init_ensemble_states,
     run_ensemble,
     select_member,
@@ -131,6 +132,19 @@ def uq_half(tr, stacked, summaries, wall):
             emit(UQ_OUT, {"tag": "artifact", "path": path})
 
 
+def mean_rel(tr, stacked):
+    """rel-L2 of the ensemble-MEAN prediction per field (the §4r
+    deployable construct)."""
+    from pinns_tpu.train.evaluate import relative_l2
+
+    ds = tr.problem.dataset
+    preds = ensemble_predict(tr, stacked, ds.X_star)
+    return {
+        f"rel_l2_{k}": round(relative_l2(preds[k]["mean"], ds.star[k]), 4)
+        for k in preds if k in ds.star
+    }
+
+
 def select_and_emit(tr, stacked, summaries, base_seed, n, wall,
                     anchor_params=None):
     """Ground-truth-free selection + regret row (shared with
@@ -164,6 +178,7 @@ def select_and_emit(tr, stacked, summaries, base_seed, n, wall,
             ),
         })
     emit(BEST_OUT, rec)
+    return scores
 
 
 def tails_half(tr_tail, stacked_adam, base_seed, n, adam_wall):
@@ -176,8 +191,33 @@ def tails_half(tr_tail, stacked_adam, base_seed, n, adam_wall):
         summaries.append(s)
     stacked = stack_states(tailed)
     wall = round(adam_wall + time.time() - t0, 1)
-    select_and_emit(tr_tail, stacked, summaries, base_seed, n, wall,
-                    anchor_params=stacked_adam.params)
+    scores = select_and_emit(tr_tail, stacked, summaries, base_seed, n,
+                             wall, anchor_params=stacked_adam.params)
+
+    # Consensus-GATED mean: per member, keep the tailed version only while
+    # it stays inside the Adam ensemble's own consensus envelope (max
+    # member-to-mean distance); revert drifted tails to their Adam start.
+    # Grades the deployable that combines tail upside with mean robustness.
+    cons_tail = [s["consensus"] for s in scores]
+    cons_adam = [s["consensus"] for s in selection_scores(
+        tr_tail, stacked_adam, n, seed=base_seed + 777,
+        anchor_params=stacked_adam.params)]
+    gate = max(cons_adam)
+    keep = [ct <= gate for ct in cons_tail]
+    # members' buffers were donated into tr_tail.train — slice fresh ones
+    gated = stack_states([
+        t if k else a for t, a, k in
+        zip(unstack_states(stacked, n), unstack_states(stacked_adam, n),
+            keep)
+    ])
+    emit(BEST_OUT, {
+        "tag": f"gated_mean_base{base_seed}",
+        "gate": round(gate, 6),
+        "kept_tails": [int(k) for k in keep],
+        "adam_mean_rel": mean_rel(tr_tail, stacked_adam),
+        "tailed_mean_rel": mean_rel(tr_tail, stacked),
+        "gated_mean_rel": mean_rel(tr_tail, gated),
+    })
 
 
 def main(bases, resume=False, toy=False, skip_base=False,
