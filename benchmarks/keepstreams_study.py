@@ -76,9 +76,9 @@ def throughput(trainer, n_f, chunk=10, n_chunks=3):
     return n_f / (best / (n_chunks * chunk))
 
 
-def run(tag, ov, seed=None, skip_throughput=False):
+def run(tag, ov, seed=None, skip_throughput=False, epochs=EPOCHS):
     exp = override(get_preset("burgers_scale"), {
-        "train.epochs": EPOCHS, "train.chunk": 100, "train.log_every": 0,
+        "train.epochs": epochs, "train.chunk": 100, "train.log_every": 0,
         **({"train.seed": seed} if seed is not None else {}),
         **ov,
     })
@@ -88,9 +88,10 @@ def run(tag, ov, seed=None, skip_throughput=False):
     )
     t0 = time.time()
     _, s = tr.train()
+    tag = tag if seed is None else f"{tag}_s{seed}"
     emit({
-        "tag": tag if seed is None else f"{tag}_s{seed}",
-        "epochs": EPOCHS,
+        "tag": tag if epochs == EPOCHS else f"{tag}_e{epochs}",
+        "epochs": epochs,
         "pts_per_sec": int(pts),
         "wall_s": round(time.time() - t0, 1),
         **{k: round(float(v), 5) for k, v in s.items() if "rel_l2" in k},
@@ -100,13 +101,20 @@ def run(tag, ov, seed=None, skip_throughput=False):
 if __name__ == "__main__":
     args = sys.argv[1:]
     seed = None
+    epochs = EPOCHS
     if "--seed" in args:
         i = args.index("--seed")
         seed = int(args[i + 1])
+        del args[i:i + 2]
+    if "--epochs" in args:
+        i = args.index("--epochs")
+        epochs = int(args[i + 1])
         del args[i:i + 2]
     only = set(args)
     for tag, ov in POLICIES:
         if only and tag not in only:
             continue
-        # seed flank: throughput is seed-independent (same program), skip it
-        run(tag, ov, seed=seed, skip_throughput=seed is not None)
+        # seed/budget flanks: throughput is seed- and budget-independent
+        # (same program), skip it
+        run(tag, ov, seed=seed, epochs=epochs,
+            skip_throughput=seed is not None or epochs != EPOCHS)

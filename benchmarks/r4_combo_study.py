@@ -263,10 +263,20 @@ def main(bases, resume=False, toy=False, skip_base=False,
         if vmapped:
             one_vmapped(b, seeds)
             continue
-        t0 = time.time()
-        st, _ = run_ensemble(tr_adam, seeds)
-        tails_half(tr_tail, st, b, len(seeds),
-                   round(time.time() - t0, 1))
+        # crash insurance for the ~75-min Adam phase (same pattern as the
+        # shared block): checkpoint per base, resume if present
+        ckpt_b = CKPT.replace(".ckpt", f"_b{b}.ckpt")
+        if resume and os.path.exists(ckpt_b):
+            template = init_ensemble_states(tr_adam, seeds)
+            st = load_checkpoint(ckpt_b, template)
+            wall = 0.0
+            print(f"resumed base-{b} ensemble from {ckpt_b}", flush=True)
+        else:
+            t0 = time.time()
+            st, _ = run_ensemble(tr_adam, seeds)
+            wall = round(time.time() - t0, 1)
+            save_checkpoint(ckpt_b, st, meta={"seeds": seeds})
+        tails_half(tr_tail, st, b, len(seeds), wall)
 
 
 if __name__ == "__main__":
@@ -276,6 +286,11 @@ if __name__ == "__main__":
     skip_base = "--skip-base" in args
     best_only = "--best-only" in args
     args = [a for a in args if not a.startswith("--")]
+    if "--r5" in sys.argv:
+        # round-5 replication legs write to their own files (VERDICT-r4 #1:
+        # ">=3 TPU bases in r5_euler_best.jsonl"); base-1234 rows stay in r4
+        UQ_OUT = UQ_OUT.replace("/r4_", "/r5_")
+        BEST_OUT = BEST_OUT.replace("/r4_", "/r5_")
     if toy:
         import jax
 
