@@ -31,7 +31,6 @@ Writes benchmarks/results/r4_ensemble_shard.jsonl.
 
 import json
 import os
-import re
 import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -50,35 +49,21 @@ from pinns_tpu.parallel.ensemble import (  # noqa: E402
     make_ensemble_chunk,
 )
 from pinns_tpu.parallel.mesh import make_mesh  # noqa: E402
-from pinns_tpu.parallel.sharding import place_ensemble  # noqa: E402
+from pinns_tpu.parallel.sharding import (  # noqa: E402
+    collective_census as census,
+    place_ensemble,
+)
 from pinns_tpu.train import Trainer  # noqa: E402
 
 OUT = "benchmarks/results/r4_ensemble_shard.jsonl"
 CHUNK = 10
 N_TIMED = 3
-COLLECTIVES = (
-    "all-reduce", "all-gather", "collective-permute", "all-to-all",
-    "reduce-scatter",
-)
 
 
 def emit(rec):
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
-
-
-def census(compiled_text):
-    """Count GSPMD collectives in compiled HLO (fusion-safe: instruction
-    names keep the op kind as a prefix)."""
-    counts = {}
-    for op in COLLECTIVES:
-        # match op starts ("%all-reduce.12 =" / "all-reduce(") but not the
-        # plain word inside comments/metadata
-        n = len(re.findall(rf"\b{op}(?:-start|-done)?\.?\d*\s*=", compiled_text))
-        if n:
-            counts[op] = n
-    return counts
 
 
 def measure(tag, run, stacked):

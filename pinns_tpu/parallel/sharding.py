@@ -16,12 +16,45 @@ Nothing else changes: the SAME ``Trainer`` chunks run sharded after
 
 from __future__ import annotations
 
-from typing import Any
+import re
+from typing import Any, Dict
 
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pinns_tpu.parallel.mesh import DATA_AXIS, ENSEMBLE_AXIS
+
+# Cross-device collective op kinds GSPMD can insert when partitioning a
+# program over a mesh (XLA HLO instruction names).
+COLLECTIVE_OPS = (
+    "all-reduce", "all-gather", "collective-permute", "all-to-all",
+    "reduce-scatter",
+)
+
+
+def collective_census(compiled_text: str) -> Dict[str, int]:
+    """Count GSPMD collectives in compiled HLO text (``compiled.as_text()``).
+
+    The compiler-level scaling check for a placement: member-sharded
+    ensembles (``place_ensemble`` with ``ensemble=E, data=1``) must compile
+    with ZERO cross-member collectives — the embarrassingly-parallel
+    equivalent of the reference farm's independent ranks
+    (``scheduler.py:97-109``) — while collocation-DP legitimately pays
+    all-reduces for the loss/grad reductions. Measured census at the real
+    Euler ensemble chunk: PARITY §6 (r4_ensemble_shard.jsonl); pinned as a
+    regression test in tests/test_parallel.py.
+
+    Fusion-safe: instruction names keep the op kind as a prefix
+    ("%all-reduce.12 = ..."); matches op starts, not words in metadata.
+    """
+    counts: Dict[str, int] = {}
+    for op in COLLECTIVE_OPS:
+        n = len(
+            re.findall(rf"\b{op}(?:-start|-done)?\.?\d*\s*=", compiled_text)
+        )
+        if n:
+            counts[op] = n
+    return counts
 
 
 def _replicated_tree(tree, mesh):

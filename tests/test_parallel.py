@@ -519,3 +519,45 @@ def test_uq_calibration_reports_conformal_keys():
     # exchangeability (wide tolerance: tiny ensemble, spatially correlated
     # errors on a grid)
     assert row["cov_conf95"] >= 0.80
+
+
+def test_member_sharding_compiles_zero_collectives():
+    """Pin the member-sharded-ensemble scaling guarantee (PARITY §6,
+    r4_ensemble_shard.jsonl): the ensemble=E x data=1 placement of the real
+    weak-form Euler training chunk partitions with ZERO cross-member
+    collectives — the compiler-level equivalent of the reference farm's
+    embarrassingly-parallel ranks (scheduler.py:97-109). Any future change
+    to the step (e.g. a new cross-member metric reduction) that introduces
+    a collective breaks this test instead of silently voiding the claim."""
+    from pinns_tpu.parallel.sharding import collective_census
+
+    exp = override(get_preset("euler_weak_fast"), {
+        # narrower trunk for test speed; same step structure (weak-form
+        # flux + paths + per-member metrics) as the measured census
+        "model.layers": (2, 32, 32, 3),
+        "sampling.n_f": 256,
+        "sampling.t_curriculum_epochs": 0,
+        "train.log_every": 0,
+    })
+    tr = Trainer(exp)
+    seeds = [exp.train.seed + i for i in range(8)]
+    run = make_ensemble_chunk(tr, 5)
+
+    ens = place_ensemble(
+        init_ensemble_states(tr, seeds), make_mesh(ensemble=8)
+    )
+    hlo_ens = run.lower(ens).compile().as_text()
+    assert collective_census(hlo_ens) == {}, (
+        "member sharding must stay collective-free; got "
+        f"{collective_census(hlo_ens)}"
+    )
+
+    # contrast leg doubles as a regex-staleness guard: collocation-DP MUST
+    # show the loss/grad all-reduce — if the census pattern ever stops
+    # matching real HLO, this assertion fails rather than the one above
+    # passing vacuously
+    dp = place_ensemble(
+        init_ensemble_states(tr, seeds), make_mesh(ensemble=1)
+    )
+    cc_dp = collective_census(run.lower(dp).compile().as_text())
+    assert cc_dp.get("all-reduce", 0) >= 1, f"DP census lost its all-reduce: {cc_dp}"
