@@ -229,7 +229,10 @@ def _eval_artifact(args):
     trainer = Trainer(exp)
     ds = trainer.problem.dataset
     preds = served.predict(np.asarray(ds.X_star))
-    out = {"artifact": args.artifact, "experiment": exp.name}
+    out = {"artifact": args.artifact, "experiment": exp.name,
+           # 'stored' reference .mat vs 'native' regenerated oracle — the
+           # two ground truths differ materially for Euler u (PARITY §2)
+           "truth": getattr(ds, "provenance", "unknown")}
     for name in sorted(ds.star):
         if name not in preds:
             continue

@@ -545,23 +545,34 @@ def euler_solve_hllc(
         f = _hllc_flux(cons(wl), cons(wr), gamma)
         return -(f[1:] - f[:-1]) / dx
 
-    w0 = prim(q0)
-    smax = float(np.max(np.abs(w0[:, 1]) + np.sqrt(gamma * w0[:, 2] / w0[:, 0])))
-    dt = cfl * dx / (smax * 1.5)
-    steps_per_snap = max(1, int(np.ceil(t_final / (n_snapshots - 1) / dt)))
-    dt = t_final / (n_snapshots - 1) / steps_per_snap
-
-    def rk3(q):
+    def rk3(q, dt):
         q1 = q + dt * rhs(q)
         q2 = 0.75 * q + 0.25 * (q1 + dt * rhs(q1))
         return q / 3.0 + 2.0 / 3.0 * (q2 + dt * rhs(q2))
 
+    # Re-evaluate the CFL bound per snapshot interval: this is a general
+    # oracle API, and an IC whose max signal speed GROWS after wave breakup
+    # (e.g. colliding flows) would integrate unstably under a dt fixed from
+    # the t=0 wave speeds. The 1.5 headroom absorbs in-interval growth; the
+    # blend shock tube reproduces the fixed-dt step counts at t=0 speeds.
+    t_snap = t_final / (n_snapshots - 1)
     traj = np.empty((n_snapshots, nx, 3))
     traj[0] = q0
     q = q0
     for k in range(1, n_snapshots):
-        for _ in range(steps_per_snap):
-            q = rk3(q)
+        w = prim(q)
+        smax = float(
+            np.max(np.abs(w[:, 1]) + np.sqrt(gamma * w[:, 2] / w[:, 0]))
+        )
+        steps = max(1, int(np.ceil(t_snap * smax * 1.5 / (cfl * dx))))
+        dt = t_snap / steps
+        for _ in range(steps):
+            q = rk3(q, dt)
+        if not np.all(np.isfinite(q)):
+            raise FloatingPointError(
+                f"euler_solve_hllc diverged in snapshot interval {k} "
+                f"(smax={smax:.3g}, dt={dt:.3g}); refine nx or lower cfl"
+            )
         traj[k] = q
     rho = traj[:, :, 0].T
     mom = traj[:, :, 1].T

@@ -424,12 +424,16 @@ def mond_band_factors(cal_row: dict, std, default: float = 2.0,
     std = np.asarray(std, np.float64)
     if not edges or not mond_k:
         return np.full(std.shape, float(cal_row.get("k_conf95", default)))
-    if cal_row.get("mond_feature", "std") == "dx" and feature is None:
+    needs_dx = cal_row.get("mond_feature", "std") == "dx"
+    if needs_dx and feature is None:
         # a 'dx'-calibrated row with no dx given: binning std against the
         # |d/dx| edges would put every point in the wrong bin — fall back
         # to the global conformal factor instead (band_ks does the same)
         return np.full(std.shape, float(cal_row.get("k_conf95", default)))
-    feat = np.asarray(feature, np.float64) if feature is not None else std
+    # mirror ServedModel.band_ks: `feature` is used ONLY when the row was
+    # calibrated on dx — a dx array passed to a std-calibrated row must not
+    # be silently binned against std edges
+    feat = np.asarray(feature, np.float64) if needs_dx else std
     idx = np.searchsorted(np.asarray(edges, np.float64), feat, side="right")
     return np.asarray(mond_k, np.float64)[idx]
 

@@ -212,6 +212,10 @@ class ServedModel:
         dtype = jnp.dtype(self.meta["input"]["dtype"])
         x = np.asarray(jnp.asarray(np.asarray(x), dtype))
         n = x.shape[0]
+        if n == 0:
+            # an empty batch would pad from a nonexistent last row and can
+            # fail the symbolic-dim constraint with an opaque XLA error
+            raise ValueError("empty batch: x must have at least one row")
         if pad_to_bucket:
             # every output is pointwise in the batch row, so padding with a
             # repeated row and slicing back is exact for the real rows
@@ -277,6 +281,15 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
                         without --calibrate gets a 400, never a silent
                         2.0*std band.
 
+    Binary payloads (the JSON float-list encoding dominates served latency
+    above ~64k points — 38x device-side at a 1M batch, PARITY §4r; no
+    reference analog, this is the framework's own deployment path):
+      POST /predict with Content-Type: application/x-npy and a raw .npy
+      (N, 2) float array body returns Content-Type: application/x-npz — an
+      .npz with one float32 array per exported field (np.load(BytesIO(body))
+      client-side). Bands via the query string: /predict?bands=1. Errors
+      are always JSON with a diagnostic, whatever the request encoding.
+
     Returns the (unstarted) ThreadingHTTPServer; callers run
     ``server.serve_forever()`` (the CLI does) or drive it from a thread in
     tests. Batch dim is symbolic in the artifact, so any request size
@@ -286,6 +299,8 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
     cached forever in-process. The first request IN a new bucket pays that
     bucket's one compile."""
     import http.server
+    import io
+    import urllib.parse
 
     served = ServedModel(path)
 
@@ -298,6 +313,17 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_npz(self, out: Dict[str, np.ndarray]):
+            buf = io.BytesIO()
+            np.savez(buf, **{k: np.asarray(v, np.float32)
+                             for k, v in out.items()})
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-npz")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/meta":
                 self._send(200, served.meta)
@@ -305,17 +331,33 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
                 self._send(404, {"error": "unknown path; use /meta or POST /predict"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            url = urllib.parse.urlsplit(self.path)
+            if url.path != "/predict":
                 self._send(404, {"error": "unknown path; use POST /predict"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n))
-                x = np.asarray(req["x"], np.float32)
+                ctype = (self.headers.get("Content-Type")
+                         or "application/json").split(";")[0].strip()
+                binary = ctype in ("application/x-npy",
+                                   "application/octet-stream")
+                body = self.rfile.read(n)
+                if binary:
+                    x = np.load(io.BytesIO(body), allow_pickle=False)
+                    query = urllib.parse.parse_qs(url.query)
+                    want_bands = query.get("bands", ["0"])[0] not in (
+                        "0", "", "false")
+                else:
+                    req = json.loads(body)
+                    x = np.asarray(req["x"], np.float32)
+                    want_bands = bool(req.get("bands"))
+                x = np.asarray(x, np.float32)
                 if x.ndim != 2 or x.shape[1] != 2:
                     raise ValueError(f"x must be (N, 2), got {x.shape}")
+                if x.shape[0] == 0:
+                    raise ValueError("empty batch: x must have >= 1 row")
                 out = served.predict(x, pad_to_bucket=True)
-                if req.get("bands"):
+                if want_bands:
                     # only fields with BAKED factors get a band: serving
                     # 2.0*std as a "~95% band" would be silently ~10x
                     # overconfident at fronts (PARITY 4n)
@@ -337,10 +379,14 @@ def make_http_server(path: str, host: str = "127.0.0.1", port: int = 8080):
                             out[f"{name}_band"] = ks * np.asarray(
                                 out[k], np.float64
                             )
-                self._send(
-                    200,
-                    {k: np.asarray(v, np.float32).tolist() for k, v in out.items()},
-                )
+                if binary:
+                    self._send_npz(out)
+                else:
+                    self._send(
+                        200,
+                        {k: np.asarray(v, np.float32).tolist()
+                         for k, v in out.items()},
+                    )
             except Exception as e:  # malformed request -> diagnostic, not a crash
                 self._send(400, {"error": str(e)})
 

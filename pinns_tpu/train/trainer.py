@@ -1222,6 +1222,10 @@ class Trainer:
         lam1, lam2 = self.problem.effective_coeffs(params)
         out["lambda1"] = float(np.asarray(lam1)[0])
         out["lambda2"] = float(np.asarray(lam2)[0])
+        # graded numbers are self-identifying: 'stored' reference .mat vs
+        # 'native' regenerated oracle (materially different for Euler u,
+        # PARITY §2 — the stored DG artifact departs up to 28% from exact)
+        out["truth"] = getattr(ds, "provenance", "unknown")
         return out
 
     def record_snapshot(self, state: TrainState, epoch: int):

@@ -140,3 +140,28 @@ def test_missing_euler_dataset_regenerates(tmp_path):
     assert set(ds.field_names) == {"rho", "u", "E"}
     assert ds.fields["rho"].shape[0] == 157  # (Nt, Nx) layout
     assert ds.fields["rho"].shape[1] == 300
+
+
+def test_dataset_provenance_tag():
+    """Graded numbers are self-identifying: datasets loaded from the
+    reference .mat tag provenance='stored'; native regeneration (the
+    self-sufficient path — for Euler the EXACT Riemann oracle, which
+    departs up to 28% in u from the stored DG artifact, PARITY §2) tags
+    'native'. Trainer.evaluate carries the tag into every summary."""
+    import pinns_tpu.data.datasets as dsm
+
+    ds = dsm.load_burgers_mat("burgers_shock")
+    assert ds.provenance == "stored"
+    ds_native = dsm.load_burgers_mat("burgers_shock", root="/nonexistent")
+    assert ds_native.provenance == "native"
+
+    from pinns_tpu.config import override
+    from pinns_tpu.experiments import get_preset
+    from pinns_tpu.train import Trainer
+
+    tr = Trainer(override(get_preset("abgrall_l2"), {
+        "model.layers": (2, 8, 8, 1), "sampling.n_f": 64,
+        "train.epochs": 10, "train.chunk": 10, "train.log_every": 0,
+    }))
+    s = tr.evaluate(tr.init_state())
+    assert s["truth"] == "stored"

@@ -344,3 +344,28 @@ def test_exact_riemann_toro_star_states():
         assert abs(s[i]) < 1e-2, (left, right)
         rel = abs(p[i] - pstar) / pstar
         assert rel < tol, (left, right, p[i], pstar)
+
+
+def test_hllc_recovers_cfl_when_wave_speed_grows():
+    """The HLLC oracle re-evaluates the CFL bound per snapshot interval: a
+    strong blast into a light gas multiplies max(|u|+c) ~4x after breakup
+    (measured: 37 -> 146), far past the old fixed-dt scheme's 1.5x t=0
+    margin — which would have integrated this IC unstably with no warning.
+    The adaptive solve must stay finite and conserve mass (outflow
+    boundaries untouched at this horizon)."""
+    from pinns_tpu.data.generators import euler_solve_hllc
+
+    def ic(xc):
+        rho = np.where(xc < 0.5, 1.0, 1e-3)
+        p = np.where(xc < 0.5, 1000.0, 0.01)
+        return np.stack([rho, np.zeros_like(xc), p / 0.4], axis=1)
+
+    out = euler_solve_hllc(nx=400, n_snapshots=5, t_final=0.003, ic=ic)
+    rho, u, E = out["rhosol"], out["usol"], out["Enersol"]
+    for k in (rho, u, E):
+        assert np.all(np.isfinite(k))
+    p = 0.4 * (E - 0.5 * rho * u**2)
+    smax = (np.abs(u) + np.sqrt(1.4 * np.maximum(p, 1e-12) / rho)).max(axis=0)
+    assert smax[-1] > 2.0 * smax[0], smax  # the growth the fix handles
+    mass0, mass1 = rho[:, 0].sum(), rho[:, -1].sum()
+    assert abs(mass1 - mass0) / mass0 < 1e-6

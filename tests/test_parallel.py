@@ -501,6 +501,13 @@ def test_front_aware_mondrian_bins_fix_unresolved_front():
     # the constant global conformal factor, like ServedModel.band_ks
     ks_nofeat = mond_band_factors(row_dx, std)
     np.testing.assert_allclose(ks_nofeat, row_dx["k_conf95"])
+    # and the mirror trap: a dx array passed to a STD-calibrated row must
+    # be ignored (binned on std, like ServedModel.band_ks), not silently
+    # binned against std edges
+    np.testing.assert_allclose(
+        mond_band_factors(row_std, std, feature=dx),
+        mond_band_factors(row_std, std),
+    )
 
 
 def test_uq_calibration_reports_conformal_keys():

@@ -544,3 +544,108 @@ def test_cli_eval_needs_a_source():
         cli_main(["eval", "--preset", "abgrall_l2"])
     with pytest.raises(SystemExit):
         cli_main(["eval", "--checkpoint", "x.ckpt"])  # no preset
+
+
+def test_http_binary_npy_request_npz_response(tmp_path):
+    """POST /predict with Content-Type: application/x-npy (raw .npy body)
+    returns an .npz whose arrays match the JSON path bit-for-bit — the
+    serving encoding that removes the JSON float-list tax (38x device-side
+    at a 1M batch, PARITY §4r). Bands ride the query string; empty batches
+    and garbage bytes get a JSON 400."""
+    import io
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from pinns_tpu.serve import make_http_server
+
+    tr, state = _trained("abgrall_l2")
+    path = export_predict(tr, state.params, str(tmp_path / "m"))
+    server = make_http_server(path, port=0)
+    host, port = server.server_address[:2]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://{host}:{port}/predict"
+    try:
+        x = np.asarray(tr.problem.dataset.X_star[:13], np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            url, data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "application/x-npz"
+            out = dict(np.load(io.BytesIO(r.read())))
+        want = load_exported(path).predict(x)
+        assert set(out) == set(want)
+        np.testing.assert_allclose(out["u"], np.asarray(want["u"], np.float32),
+                                   rtol=1e-6, atol=1e-7)
+
+        # empty batch -> explicit 400, not an opaque XLA error
+        ebuf = io.BytesIO()
+        np.save(ebuf, np.zeros((0, 2), np.float32))
+        for payload, ctype in [
+            (ebuf.getvalue(), "application/x-npy"),
+            (b'{"x": []}', "application/json"),
+            (b"not numpy", "application/x-npy"),
+        ]:
+            bad = urllib.request.Request(
+                url, data=payload, headers={"Content-Type": ctype})
+            try:
+                urllib.request.urlopen(bad, timeout=30)
+                raise AssertionError(f"{ctype} bad payload must 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_http_binary_bands_via_query(tmp_path):
+    """Binary /predict?bands=1 returns the calibrated per-point half-width
+    matching the JSON bands path on a calibrated ensemble artifact."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from pinns_tpu.parallel.ensemble import init_ensemble_states, uq_calibration
+    from pinns_tpu.serve import export_ensemble, make_http_server
+
+    tr, _ = _trained("abgrall_l2")
+    stacked = init_ensemble_states(tr, seeds=[0, 1])
+    cal = uq_calibration(tr, stacked)
+    path = export_ensemble(tr, stacked.params, str(tmp_path / "ens"),
+                           calibration=cal)
+    server = make_http_server(path, port=0)
+    host, port = server.server_address[:2]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        x = np.asarray(tr.problem.dataset.X_star[:9], np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict?bands=1", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = dict(np.load(io.BytesIO(r.read())))
+        jreq = urllib.request.Request(
+            f"http://{host}:{port}/predict",
+            data=_json.dumps({"x": x.tolist(), "bands": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(jreq, timeout=120) as r:
+            jout = _json.loads(r.read())
+        np.testing.assert_allclose(
+            out["u_band"], np.asarray(jout["u_band"], np.float32),
+            rtol=1e-6, atol=1e-7)
+    finally:
+        server.shutdown()
+
+
+def test_served_model_rejects_empty_batch(tmp_path):
+    tr, state = _trained("abgrall_l2")
+    served = load_exported(export_predict(tr, state.params,
+                                          str(tmp_path / "m")))
+    with pytest.raises(ValueError, match="empty batch"):
+        served.predict(np.zeros((0, 2), np.float32), pad_to_bucket=True)
