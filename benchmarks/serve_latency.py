@@ -43,6 +43,7 @@ from pinns_tpu.train import Trainer
 BATCHES = (256, 4096, 65536, 1048576)
 REPS = 20
 OUT = "benchmarks/results/r4_serve_latency.jsonl"
+HTTP_OUT = "benchmarks/results/r5_serve_http.jsonl"
 
 
 def _chained_device(model, x0, reps=REPS):
@@ -84,6 +85,77 @@ def _pct(times, q):
     return round(float(np.percentile(times, q)) * 1e3, 3)
 
 
+def _chained_http(url, x0, field, binary, reps=REPS):
+    """Per-call seconds of a real HTTP POST /predict round-trip, chained
+    (next batch perturbed by the previous response). ``binary``: npy body ->
+    npz response (round-5 payload, VERDICT-r4 #7) vs JSON float lists."""
+    import io
+    import urllib.request
+
+    x = np.asarray(x0, np.float32)
+    times = []
+    out_u = None
+    for i in range(reps + 1):  # first call warms the bucket
+        if binary:
+            buf = io.BytesIO()
+            np.save(buf, x)
+            req = urllib.request.Request(
+                url, data=buf.getvalue(),
+                headers={"Content-Type": "application/x-npy"})
+        else:
+            req = urllib.request.Request(
+                url, data=json.dumps({"x": x.tolist()}).encode(),
+                headers={"Content-Type": "application/json"})
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = r.read()
+        if binary:
+            out_u = np.asarray(dict(np.load(io.BytesIO(body)))[field])
+        else:
+            out_u = np.asarray(json.loads(body)[field], np.float32)
+        if i > 0:
+            times.append(time.perf_counter() - t0)
+        x = x + 1e-7 * out_u
+    return times
+
+
+def measure_http(tag, path, batches=(65536, 1048576), reps=REPS):
+    """JSON vs binary HTTP serving throughput over a live server thread."""
+    import threading
+
+    from pinns_tpu.serve import make_http_server
+
+    server = make_http_server(path, port=0)
+    host, port = server.server_address[:2]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://{host}:{port}/predict"
+    model = load_exported(path)
+    field = model.fields[0]
+    rng = np.random.default_rng(0)
+    try:
+        for b in batches:
+            x0 = rng.uniform(-0.5, 0.5, size=(b, 2)).astype(np.float32)
+            _, dev = _chained_device(model, x0, reps=max(5, reps // 2))
+            for binary in (False, True):
+                srv = _chained_http(url, x0, field, binary, reps=reps)
+                rec = {
+                    "tag": tag, "batch": b,
+                    "encoding": "npy" if binary else "json",
+                    "backend": jax.default_backend(),
+                    "n_outputs": len(model.fields),
+                    "device_p50_ms": _pct(dev, 50),
+                    "http_p50_ms": _pct(srv, 50),
+                    "http_p99_ms": _pct(srv, 99),
+                    "device_pts_per_s": int(b / np.median(dev)),
+                    "http_pts_per_s": int(b / np.median(srv)),
+                }
+                with open(HTTP_OUT, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(json.dumps(rec), flush=True)
+    finally:
+        server.shutdown()
+
+
 def measure(tag, path):
     model = load_exported(path)
     rng = np.random.default_rng(0)
@@ -120,12 +192,18 @@ def _export(tag, out_root):
 
 
 def main():
+    args = sys.argv[1:]
+    http = "--http" in args
+    only = set(a for a in args if not a.startswith("--"))
     out_root = tempfile.mkdtemp(prefix="serve_latency_")
-    only = set(sys.argv[1:])
     for tag in ("twosin_solo", "euler_solo", "euler_ens8"):
         if only and tag not in only:
             continue
-        measure(tag, _export(tag, out_root))
+        path = _export(tag, out_root)
+        if http:
+            measure_http(tag, path)
+        else:
+            measure(tag, path)
 
 
 if __name__ == "__main__":
