@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import ast
 import json
+import os
 import sys
 
 
@@ -262,6 +263,8 @@ def cmd_export(args):
 
     exp = _build_exp(args)
     trainer = Trainer(exp)
+    if getattr(args, "select", None):
+        return _export_selected(args, trainer)
     if len(args.checkpoint) == 1 and not args.calibrate:
         state = trainer.load_checkpoint(args.checkpoint[0])
         path = export_predict(trainer, state.params, args.out)
@@ -295,6 +298,69 @@ def cmd_export(args):
                 for k, v in row.items()
             }}))
     path = export_ensemble(trainer, stacked_params, args.out, calibration=cal)
+    print(path)
+    return 0
+
+
+def _export_selected(args, trainer):
+    """`export --select {score,consensus}`: ground-truth-free member
+    selection over the given checkpoints, exporting the chosen member as a
+    solo artifact. The principled replacement for the reference's
+    pick-by-eye over per-run CSVs (``Abgrall_ADMM.py:311-319``): 'score'
+    ranks by the training objective's truth-free surrogate (data misfit +
+    mean-square residual at fresh points), 'consensus' by field distance
+    to the anchor ensemble's mean prediction — the selector that picked
+    the oracle L-BFGS-tailed member on the measured Euler instance where
+    the residual score failed (PARITY §4r). Serve the ensemble MEAN (plain
+    `export`, with `--calibrate` bands) when you want robustness with zero
+    selection risk; select a member when chasing the tail upside."""
+    import jax
+    import numpy as np
+
+    from pinns_tpu.parallel.ensemble import select_member, selection_scores
+    from pinns_tpu.serve import export_predict
+
+    if args.calibrate:
+        raise SystemExit(
+            "--select exports a single member (no ensemble spread to "
+            "calibrate); use a plain ensemble export for calibrated bands"
+        )
+    if len(args.checkpoint) < 2:
+        raise SystemExit("--select needs >= 2 member checkpoints to rank")
+
+    def stack(paths):
+        states = [trainer.load_checkpoint(c) for c in paths]
+        return states, jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[s.params for s in states],
+        )
+
+    states, stacked_params = stack(args.checkpoint)
+    anchor_params = None
+    if args.select == "consensus":
+        anchor_params = (stack(args.anchor)[1] if args.anchor
+                         else stacked_params)
+    stacked = states[0]._replace(params=stacked_params)
+    scores = selection_scores(
+        trainer, stacked, len(states),
+        seed=trainer.exp.train.seed + 777, anchor_params=anchor_params,
+    )
+    sel = select_member(scores, by=args.select)
+    print(json.dumps({"selected": sel, "by": args.select,
+                      "scores": scores}))
+    path = export_predict(trainer, states[sel].params, args.out)
+    # record the selection in the artifact meta for rollout audit
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["selection"] = {
+        "by": args.select, "selected": sel,
+        "checkpoints": list(args.checkpoint),
+        "anchor": list(args.anchor) if args.anchor else None,
+        "scores": scores,
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1, default=str)
     print(path)
     return 0
 
@@ -622,6 +688,23 @@ def main(argv=None):
         help="bake split-conformal band factors (k_conf95 per field, "
         "measured on the preset's evaluation grid) into the ensemble "
         "artifact's meta.json",
+    )
+    p.add_argument(
+        "--select", choices=("score", "consensus"),
+        help="export ONE member picked ground-truth-free from the given "
+        "checkpoints instead of the ensemble mean: 'score' = lowest "
+        "data-misfit + mean-square residual; 'consensus' = smallest "
+        "field distance to the anchor ensemble's mean prediction (the "
+        "selector that found the oracle tailed member where the residual "
+        "score had regret .10, PARITY §4r). Prints the per-member scores; "
+        "the chosen index and scores are recorded in the artifact meta",
+    )
+    p.add_argument(
+        "--anchor", nargs="+", default=None,
+        help="anchor ensemble checkpoints for --select consensus (the "
+        "Adam-only members the L-BFGS tails started from). Default: the "
+        "--checkpoint members themselves (self-consensus = most central "
+        "member)",
     )
     p.add_argument(
         "--mond-feature", choices=("std", "dx"), default="dx",

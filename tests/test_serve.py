@@ -649,3 +649,74 @@ def test_served_model_rejects_empty_batch(tmp_path):
                                           str(tmp_path / "m")))
     with pytest.raises(ValueError, match="empty batch"):
         served.predict(np.zeros((0, 2), np.float32), pad_to_bucket=True)
+
+
+def test_cli_export_select_member(tmp_path, capsys):
+    """`export --select {score,consensus}` is the shipped truth-free
+    selection workflow (the principled replacement for the reference's
+    pick-by-eye over per-run CSVs, Abgrall_ADMM.py:311-319): it ranks the
+    member checkpoints without ground truth, exports the chosen member as
+    a solo artifact, and audits the choice in the artifact meta."""
+    import json as _json
+
+    from pinns_tpu.cli import main as cli_main
+
+    out_dir = str(tmp_path)
+    small = [
+        "--set", "model.layers=(2,12,12,1)", "--set", "sampling.n_f=128",
+        "--set", "train.chunk=50",
+    ]
+    rc = cli_main(
+        ["train", "--preset", "abgrall_l2", *small, "--epochs", "100",
+         "--ensemble", "3", "--out-dir", out_dir]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    ckpts = [
+        os.path.join(out_dir, f"abgrall_l2_final_m{i}.ckpt") for i in range(3)
+    ]
+
+    for by, extra in (("score", []), ("consensus", ["--anchor", *ckpts])):
+        art = os.path.join(out_dir, f"sel_{by}")
+        rc = cli_main(
+            ["export", "--preset", "abgrall_l2", *small,
+             "--checkpoint", *ckpts, "--select", by, *extra, "--out", art]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        row = _json.loads(lines[0])
+        assert row["by"] == by and 0 <= row["selected"] < 3
+        assert len(row["scores"]) == 3
+        if by == "consensus":
+            assert all("consensus" in s for s in row["scores"])
+        served = load_exported(lines[-1])
+        # solo artifact (no ensemble std), selection audited in meta
+        assert "u_std" not in served.fields
+        sel = served.meta["selection"]
+        assert sel["by"] == by and sel["selected"] == row["selected"]
+        # the artifact really is the selected member: its prediction
+        # matches that member's checkpoint loaded through the trainer
+        from pinns_tpu.config import override as _ov
+        from pinns_tpu.experiments import get_preset as _gp
+        from pinns_tpu.train import Trainer as _Tr
+
+        tr = _Tr(_ov(_gp("abgrall_l2"), {
+            "model.layers": (2, 12, 12, 1), "sampling.n_f": 128,
+            "train.chunk": 50,
+        }))
+        member = tr.load_checkpoint(ckpts[row["selected"]])
+        x = np.asarray(tr.problem.dataset.X_star[:17], np.float32)
+        np.testing.assert_allclose(
+            served.predict(x)["u"], tr.predict(member.params, x)["u"],
+            rtol=2e-5, atol=1e-6,
+        )
+
+    # guard rails: --select + --calibrate and single-checkpoint both refuse
+    with pytest.raises(SystemExit):
+        cli_main(["export", "--preset", "abgrall_l2", *small,
+                  "--checkpoint", *ckpts, "--select", "score",
+                  "--calibrate", "--out", os.path.join(out_dir, "x1")])
+    with pytest.raises(SystemExit):
+        cli_main(["export", "--preset", "abgrall_l2", *small,
+                  "--checkpoint", ckpts[0], "--select", "score",
+                  "--out", os.path.join(out_dir, "x2")])
