@@ -169,12 +169,18 @@ def select_and_emit(tr, stacked, summaries, base_seed, n, wall,
     }
     if anchor_params is not None:
         sel_c = select_member(scores, by="consensus")
+        sel_r = select_member(scores, by="rank")
         rec.update({
             "consensus": [round(s["consensus"], 6) for s in scores],
             "selected_consensus": sel_c,
             "selected_consensus_rel": rel[sel_c],
             "regret_consensus_u": round(
                 rel[sel_c]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4
+            ),
+            "selected_rank": sel_r,
+            "selected_rank_rel": rel[sel_r],
+            "regret_rank_u": round(
+                rel[sel_r]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4
             ),
         })
     emit(BEST_OUT, rec)

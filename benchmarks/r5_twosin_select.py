@@ -126,6 +126,7 @@ def main(base, resume=False, toy=False):
     oracle = min(range(len(rel)), key=lambda i: rel[i]["rel_l2_u"])
     sel = select_member(scores)
     sel_c = select_member(scores, by="consensus")
+    sel_r = select_member(scores, by="rank")
     emit({
         "tag": f"twosin_ens8_base{base}",
         "wall_s": wall,
@@ -135,10 +136,13 @@ def main(base, resume=False, toy=False):
         "consensus": [round(s["consensus"], 6) for s in scores],
         "selected": sel, "selected_rel": rel[sel],
         "selected_consensus": sel_c, "selected_consensus_rel": rel[sel_c],
+        "selected_rank": sel_r, "selected_rank_rel": rel[sel_r],
         "oracle": oracle, "oracle_rel": rel[oracle],
         "regret_u": round(rel[sel]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4),
         "regret_consensus_u": round(
             rel[sel_c]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4),
+        "regret_rank_u": round(
+            rel[sel_r]["rel_l2_u"] - rel[oracle]["rel_l2_u"], 4),
     })
 
     # -- consensus-gated mean (same construct as r4_combo_study) ------------

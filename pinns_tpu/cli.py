@@ -337,7 +337,7 @@ def _export_selected(args, trainer):
 
     states, stacked_params = stack(args.checkpoint)
     anchor_params = None
-    if args.select == "consensus":
+    if args.select in ("consensus", "rank"):
         anchor_params = (stack(args.anchor)[1] if args.anchor
                          else stacked_params)
     stacked = states[0]._replace(params=stacked_params)
@@ -690,14 +690,15 @@ def main(argv=None):
         "artifact's meta.json",
     )
     p.add_argument(
-        "--select", choices=("score", "consensus"),
+        "--select", choices=("score", "consensus", "rank"),
         help="export ONE member picked ground-truth-free from the given "
         "checkpoints instead of the ensemble mean: 'score' = lowest "
         "data-misfit + mean-square residual; 'consensus' = smallest "
-        "field distance to the anchor ensemble's mean prediction (the "
-        "selector that found the oracle tailed member where the residual "
-        "score had regret .10, PARITY §4r). Prints the per-member scores; "
-        "the chosen index and scores are recorded in the artifact meta",
+        "field distance to the anchor ensemble's mean prediction; "
+        "'rank' = rank-sum agreement of both (picked the oracle tailed "
+        "member on every measured converged instance — the two single "
+        "signals each failed one, PARITY §4r/§4t). Prints the per-member "
+        "scores; the chosen index and scores go in the artifact meta",
     )
     p.add_argument(
         "--anchor", nargs="+", default=None,

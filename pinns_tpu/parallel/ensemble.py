@@ -252,7 +252,38 @@ def selection_scores(
 
 
 def select_member(scores: Sequence[dict], by: str = "score") -> int:
-    """Index of the best member under a :func:`selection_scores` key."""
+    """Index of the best member under a :func:`selection_scores` key.
+
+    ``by='rank'`` combines the two truth-free signals by rank-sum (Borda):
+    the member minimizing rank(score) + rank(consensus), consensus
+    tie-break. Rationale from the measured instances (PARITY §4r/§4t): the
+    residual score and the consensus distance fail on DIFFERENT instances
+    (score regret .1031 where consensus hit 0.0 on base 1234; consensus
+    regret .0173 where score hit 0.0 on base 7000) — requiring agreement
+    picks the oracle on both. Caveat: on unconverged ensembles (the CPU
+    toys) consensus is meaningless (the anchor mean is itself garbage) and
+    rank-sum inherits that failure — use 'score' far from convergence.
+    Requires consensus in the scores (pass ``anchor_params``).
+    """
+    if by == "rank":
+        if not scores or "consensus" not in scores[0]:
+            raise ValueError(
+                "select_member(by='rank') needs consensus scores — call "
+                "selection_scores with anchor_params"
+            )
+
+        def ranks(key):
+            order = sorted(range(len(scores)), key=lambda i: scores[i][key])
+            r = [0] * len(scores)
+            for pos, i in enumerate(order):
+                r[i] = pos
+            return r
+
+        rs, rc = ranks("score"), ranks("consensus")
+        return int(min(
+            range(len(scores)),
+            key=lambda i: (rs[i] + rc[i], scores[i]["consensus"]),
+        ))
     return int(min(range(len(scores)), key=lambda i: scores[i][by]))
 
 

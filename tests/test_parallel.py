@@ -568,3 +568,36 @@ def test_member_sharding_compiles_zero_collectives():
     )
     cc_dp = collective_census(run.lower(dp).compile().as_text())
     assert cc_dp.get("all-reduce", 0) >= 1, f"DP census lost its all-reduce: {cc_dp}"
+
+
+def test_select_member_rank_sum():
+    """`by='rank'` (Borda agreement of residual score + consensus) picks
+    the oracle on BOTH measured TPU instances where each single signal
+    failed one (PARITY §4r/§4t): pinned here with the actual measured
+    score/consensus vectors (r4/r5_euler_best.jsonl; oracle members 1 and
+    1, score picked 5 on base1234, consensus picked 5 on base7000)."""
+    from pinns_tpu.parallel.ensemble import select_member
+
+    base1234 = [
+        {"score": s, "consensus": c} for s, c in zip(
+            [.021888, .003509, .006631, .03445, .003223, .002726, .043615,
+             .011471],
+            [.071141, .026588, .028563, .071201, .030046, .074444, .092407,
+             .069672])
+    ]
+    base7000 = [
+        {"score": s, "consensus": c} for s, c in zip(
+            [.006873, .00151, .004704, .00281, .010074, .005617, .002874,
+             .007938],
+            [.026584, .019105, .020299, .025023, .080164, .018543, .040673,
+             .087509])
+    ]
+    assert select_member(base1234, by="score") == 5      # regret .1031
+    assert select_member(base1234, by="consensus") == 1  # oracle
+    assert select_member(base1234, by="rank") == 1       # oracle
+    assert select_member(base7000, by="score") == 1      # oracle
+    assert select_member(base7000, by="consensus") == 5  # regret .0173
+    assert select_member(base7000, by="rank") == 1       # oracle
+
+    with pytest.raises(ValueError, match="anchor_params"):
+        select_member([{"score": 1.0}], by="rank")
