@@ -676,7 +676,8 @@ def test_cli_export_select_member(tmp_path, capsys):
         os.path.join(out_dir, f"abgrall_l2_final_m{i}.ckpt") for i in range(3)
     ]
 
-    for by, extra in (("score", []), ("consensus", ["--anchor", *ckpts])):
+    for by, extra in (("score", []), ("consensus", ["--anchor", *ckpts]),
+                      ("rank", [])):
         art = os.path.join(out_dir, f"sel_{by}")
         rc = cli_main(
             ["export", "--preset", "abgrall_l2", *small,
