@@ -18,6 +18,7 @@ reference only gestures at.
 | euler_admm_tuned      | euler_admm + the round-2 study's winning levers (PARITY §4c) |
 | twosin_weak           | best-known TwoSin shock recipe: weak-form flux + causal weighting (PARITY §4h-§4j) |
 | euler_weak            | best-known Euler u/E recipe: weak-form flux + trainable shock paths (PARITY §4i-§4j) |
+| euler_weak_tail       | per-member L-BFGS tail stage of the ensemble->tails->rank-select workflow (PARITY §4t) |
 | burgers_forward       | canonical Raissi forward problem (burgers_shock.mat, nu=0.01/pi) |
 | burgers_inverse       | identification: trainable lambda1/lambda2 from interior data |
 | euler_inverse         | Euler dissipation identification from interior data (weak form, PARITY §4l) |
@@ -352,6 +353,46 @@ PRESETS = {
         ),
         data=DataConfig(dataset="abgrall_eulers", n_u=200),
         train=TrainConfig(epochs=200_000, chunk=250),
+    ),
+    "euler_weak_tail": _exp(
+        # The per-member L-BFGS tail stage of the shipped best-Euler
+        # workflow (PARITY §4t): train an euler_weak_fast ensemble, resume
+        # EACH member with this preset (50 on-device L-BFGS outer epochs
+        # past the cosine schedule), then pick truth-free with
+        # `export --select rank --anchor <adam members>`. Tails are
+        # seed-flaky solo (§4o: 1-in-3 improved) and improved only 2-of-8
+        # members per ensemble (§4r) — but rank-sum agreement of the
+        # residual score and the consensus distance found the oracle
+        # member on BOTH independent TPU instances: u 0.0338 (base 1234) /
+        # 0.0464 (base 7000), regret 0.0, vs the solo-1M record 0.0544.
+        # Run tails SOLO per member on this box (the vmapped wide-net
+        # L-BFGS program is the known pathological remote compile):
+        #   train --preset euler_weak_fast --ensemble 8 --out-dir D
+        #   for i in 0..7: train --preset euler_weak_tail \
+        #       --resume D/euler_weak_fast_final_m$i.ckpt --out-dir T$i
+        #   export --preset euler_weak_fast --select rank \
+        #       --checkpoint T*/euler_weak_tail_final.ckpt \
+        #       --anchor D/euler_weak_fast_final_m*.ckpt --out best
+        name="euler_weak_tail",
+        model=ModelConfig(
+            layers=EULER_TRUNK, n_paths=2, path_sharpness=12.0,
+        ),
+        pde=PDEConfig(kind="euler", gamma=1.4, lambda2=1e-3),
+        sampling=SamplingConfig(
+            n_f=1000, strategy="resample_uniform",
+            t_curriculum_epochs=100_000,
+        ),
+        loss=LossConfig(
+            data_kind="mse_sum", residual_kind="flux",
+            data_field_weights=(5.0, 1.0, 1.0),
+            strong_equations=(0,),
+        ),
+        optimizer=OptimizerConfig(
+            kind="hybrid", switch_epoch=200_000,
+            lr_schedule="cosine", schedule_epochs=200_000,
+        ),
+        data=DataConfig(dataset="abgrall_eulers", n_u=200),
+        train=TrainConfig(epochs=200_050, chunk=250),
     ),
     "burgers_scale": _exp(
         name="burgers_scale",
