@@ -12,15 +12,19 @@ train an ensemble, tail every member, then select WITHOUT ground truth:
   Euler instance).
 - ``consensus`` — field distance to the ANCHOR ensemble's mean prediction
   (the Adam members the tails started from). Found the oracle member
-  (regret 0.0) on that same instance; round-5 replications:
-  benchmarks/results/r5_euler_best.jsonl.
+  (regret 0.0) on that same instance but misranked the round-5 base-7000
+  replication (regret .0173).
+- ``rank`` — Borda rank-sum agreement of the two signals (consensus
+  tie-break). Picked the oracle member on ALL THREE measured Euler
+  instances (regret 0.0; PARITY §4t) — the shipped default for converged
+  shock ensembles. Raw rows: benchmarks/results/r5_euler_best.jsonl.
 
 Serve the ensemble MEAN (example 06, `export --calibrate`) when you want
 robustness with zero selection risk; select a member when chasing the tail
 upside. CLI twin of this script:
 
     python -m pinns_tpu export --preset ... --checkpoint tail_m*.ckpt \
-        --select consensus --anchor adam_m*.ckpt --out artifact/
+        --select rank --anchor adam_m*.ckpt --out artifact/
 
 Run:  python examples/08_member_selection.py [--quick]
 """
@@ -84,18 +88,20 @@ scores = selection_scores(tr_tail, stacked, E, seed=seeds[0] + 777,
                           anchor_params=stacked_adam.params)
 i_score = select_member(scores, by="score")
 i_cons = select_member(scores, by="consensus")
+i_rank = select_member(scores, by="rank")
 
 print(f"\n{'member':>6} {'resid score':>12} {'consensus':>10} "
       f"{'rel-L2 u (oracle view)':>24}")
 for i, (sc, s) in enumerate(zip(scores, summaries)):
     mark = ("  <- score" if i == i_score else "") + (
-        "  <- consensus" if i == i_cons else "")
+        "  <- consensus" if i == i_cons else "") + (
+        "  <- rank" if i == i_rank else "")
     print(f"{i:>6} {sc['score']:>12.5f} {sc['consensus']:>10.5f} "
           f"{s['rel_l2_u']:>24.4f}{mark}")
 
 oracle = int(np.argmin([s["rel_l2_u"] for s in summaries]))
 print(f"\noracle member (needs ground truth): {oracle}")
-print(f"score pick: {i_score}  regret "
-      f"{summaries[i_score]['rel_l2_u'] - summaries[oracle]['rel_l2_u']:+.4f}")
-print(f"consensus pick: {i_cons}  regret "
-      f"{summaries[i_cons]['rel_l2_u'] - summaries[oracle]['rel_l2_u']:+.4f}")
+for name, i_pick in (("score", i_score), ("consensus", i_cons),
+                     ("rank", i_rank)):
+    print(f"{name} pick: {i_pick}  regret "
+          f"{summaries[i_pick]['rel_l2_u'] - summaries[oracle]['rel_l2_u']:+.4f}")

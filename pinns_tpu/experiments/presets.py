@@ -363,8 +363,9 @@ PRESETS = {
         # seed-flaky solo (§4o: 1-in-3 improved) and improved only 2-of-8
         # members per ensemble (§4r) — but rank-sum agreement of the
         # residual score and the consensus distance found the oracle
-        # member on BOTH independent TPU instances: u 0.0338 (base 1234) /
-        # 0.0464 (base 7000), regret 0.0, vs the solo-1M record 0.0544.
+        # member on ALL THREE independent TPU instances: u 0.0338 /
+        # 0.0464 / 0.0446 (bases 1234/7000/99000), regret 0.0 each,
+        # vs the solo-1M record 0.0544.
         # Run tails SOLO per member on this box (the vmapped wide-net
         # L-BFGS program is the known pathological remote compile):
         #   train --preset euler_weak_fast --ensemble 8 --out-dir D
