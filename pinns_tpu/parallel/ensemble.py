@@ -144,6 +144,7 @@ def selection_scores(
     seed: int = 0,
     n_points: int = 4096,
     anchor_params=None,
+    coarse_scales: Sequence[float] = (),
 ) -> List[dict]:
     """Ground-truth-FREE per-member model-selection scores.
 
@@ -164,6 +165,16 @@ def selection_scores(
       objective with the ADMM/penalty machinery replaced by the plain
       mean-square residual (z/dual state is per-member optimizer state, not
       a comparable quality signal);
+    - ``coarse_r{s}`` / ``coarse_ent{s}`` (one pair per entry of
+      ``coarse_scales``): mean |cell-mean conservation defect| and mean
+      weak entropy-inequality violation over control volumes ``s``× the
+      configured ``loss.flux_dx_frac``/``flux_dt_frac`` half-widths, at the
+      same fresh points. Coarse cells integrate the residual over
+      displacement-scale volumes, so a misplaced shock — which a pointwise
+      or fine-cell mean-square underweights (its residual spike is
+      near-measure-zero) — shows up as an O(displacement) conservation
+      defect. Truth-free and available for ANY trained residual kind
+      (weak cells need only the net + PDE coefficients);
     - ``consensus`` (only when ``anchor_params`` is given): the member's
       mean per-field relative-L2 distance to the ANCHOR ensemble's mean
       prediction at the same points. The natural anchor is the stacked
@@ -207,6 +218,26 @@ def selection_scores(
     d, ms = jax.jit(jax.vmap(one))(stacked.params)
     d, ms = np.asarray(d), np.asarray(ms)
 
+    coarse = {}
+    if coarse_scales:
+        def battery(params):
+            out = {}
+            for s in coarse_scales:
+                r, ent = problem.flux_residuals_and_entropy(
+                    params, pts, True, scale=float(s)
+                )
+                leaves = jax.tree_util.tree_leaves(r)
+                out[f"coarse_r{s:g}"] = sum(
+                    jnp.mean(jnp.abs(f.astype(jnp.float32))) for f in leaves
+                ) / len(leaves)
+                out[f"coarse_ent{s:g}"] = jnp.mean(ent.astype(jnp.float32))
+            return out
+
+        coarse = {
+            k: np.asarray(v)
+            for k, v in jax.jit(jax.vmap(battery))(stacked.params).items()
+        }
+
     consensus = None
     if anchor_params is not None:
         from pinns_tpu.train.evaluate import predict_fields
@@ -241,6 +272,7 @@ def selection_scores(
             "data_term": float(d[i]),
             "resid_ms": float(ms[i]),
             "score": float(w * d[i] + ms[i]),
+            **{k: float(v[i]) for k, v in coarse.items()},
             **(
                 {"consensus": float(consensus[i])}
                 if consensus is not None

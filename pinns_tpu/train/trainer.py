@@ -193,14 +193,26 @@ class Problem:
         (see residuals_and_entropy for the gradient-weighting semantics)."""
         return self.residuals_and_entropy(params, colloc, False)[0]
 
-    def flux_residuals_and_entropy(self, params, centers, want_entropy: bool):
+    def flux_residuals_and_entropy(self, params, centers, want_entropy: bool,
+                                   scale: float = 1.0):
         """Weak-form control-volume residuals at cell centers, plus the
         weak entropy-inequality violation (loss.residual_kind='flux';
         ops/weakform.py). Inviscid Burgers and Euler cells are pure forward
-        evaluations — no derivatives anywhere near a front."""
+        evaluations — no derivatives anywhere near a front.
+
+        ``scale`` multiplies the configured cell half-widths: >1 gives
+        COARSE control volumes, whose cell-mean conservation defect sees
+        displacement-scale errors (a misplaced shock) that pointwise or
+        fine-cell residuals underweight — the basis of the multi-scale
+        truth-free selection diagnostic (parallel/ensemble.py
+        ``selection_scores(coarse_scales=...)``). Works regardless of the
+        TRAINED residual kind: weak cells only need the net + PDE
+        coefficients."""
         cfg = self.exp.loss
         hx = cfg.flux_dx_frac * float(self.ub[0] - self.lb[0])
         ht = cfg.flux_dt_frac * float(self.ub[1] - self.lb[1])
+        if scale != 1.0:  # guarded so default-config HLO stays bit-identical
+            hx, ht = hx * scale, ht * scale
         if cfg.strong_equations and self.exp.pde.kind != "euler":
             raise ValueError(
                 "loss.strong_equations is the Euler mixed formulation; "

@@ -225,6 +225,53 @@ def test_selection_consensus_distance_to_anchor_mean():
     assert select_member(scores, by="consensus") == 0
 
 
+@pytest.mark.parametrize("preset", ["abgrall_admm", "twosin_weak"])
+def test_selection_scores_coarse_battery(preset):
+    """coarse_scales adds the multi-scale conservation-defect diagnostics
+    (coarse_r{s} / coarse_ent{s}) for ANY trained residual kind — the
+    strong-form ADMM recipe included (weak cells need only the net + PDE
+    coefficients) — and an intact member must beat a noise-sabotaged copy
+    on the coarse defect at every scale; select_member works with the new
+    keys generically."""
+    from pinns_tpu.parallel.ensemble import select_member, selection_scores
+
+    tr = Trainer(
+        override(
+            get_preset(preset),
+            {
+                "model.layers": (2, 16, 16, 1),
+                "train.epochs": 100,
+                "train.chunk": 50,
+                "sampling.n_f": 256,
+            },
+        )
+    )
+    stacked = init_ensemble_states(tr, [0, 1])
+    stacked, _ = make_ensemble_chunk(tr, 60)(stacked)
+
+    def perturb(leaf):
+        key = jax.random.PRNGKey(leaf.size % 101)
+        return leaf + 0.5 * jax.random.normal(key, leaf.shape, leaf.dtype)
+
+    member1 = jax.tree_util.tree_map(lambda x: perturb(x[1]), stacked.params)
+    params = jax.tree_util.tree_map(
+        lambda s, m: s.at[1].set(m), stacked.params, member1
+    )
+    stacked = stacked._replace(params=params)
+
+    scores = selection_scores(
+        tr, stacked, 2, n_points=512, coarse_scales=(2.0, 8.0)
+    )
+    for s in ("2", "8"):
+        assert np.isfinite(scores[0][f"coarse_r{s}"])
+        assert np.isfinite(scores[0][f"coarse_ent{s}"])
+        assert scores[0][f"coarse_r{s}"] < scores[1][f"coarse_r{s}"]
+    assert select_member(scores, by="coarse_r8") == 0
+    # default call: no coarse keys, byte-compatible with existing flows
+    assert "coarse_r2" not in selection_scores(tr, stacked, 2,
+                                               n_points=256)[0]
+
+
 def test_ensemble_sharded_over_mesh():
     tr = Trainer(_exp(**{"sampling.n_f": 256}))
     mesh = make_mesh(data=2, ensemble=4)

@@ -147,6 +147,43 @@ def test_cells_clip_to_domain():
     assert np.all(np.isfinite(np.asarray(r)))
 
 
+def test_flux_scale_param_coarsens_cells():
+    """Problem.flux_residuals_and_entropy(scale=s) must equal the direct
+    weakform call with s-times the configured half-widths — the contract
+    the multi-scale selection battery (selection_scores(coarse_scales=...))
+    is built on. scale=1.0 takes the guarded no-op path (default-config
+    HLO stays bit-identical, CLAUDE.md cache rule)."""
+    exp = override(get_preset("twosin_weak"), {
+        "model.layers": (2, 16, 16, 1),
+        "train.epochs": 10, "train.chunk": 10, "sampling.n_f": 64,
+    })
+    tr = Trainer(exp)
+    problem = tr.problem
+    params = tr.init_state(seed=3).params
+    centers = _centers(n=32, seed=9).astype(problem.spec.dtype)
+    cfg = exp.loss
+    hx = cfg.flux_dx_frac * float(problem.ub[0] - problem.lb[0])
+    ht = cfg.flux_dt_frac * float(problem.ub[1] - problem.lb[1])
+    for s in (1.0, 4.0):
+        r, ent = problem.flux_residuals_and_entropy(
+            params, centers, True, scale=s
+        )
+        r_direct, ent_direct = burgers_flux_residual(
+            problem.spec, params["net"], centers,
+            exp.pde.lambda1, exp.pde.lambda2, hx * s, ht * s,
+            quad=cfg.flux_quad, want_entropy=True, viscous=True,
+        )
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_direct),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ent), np.asarray(ent_direct),
+                                   rtol=1e-6, atol=1e-7)
+    # coarse cells average over more of the field: residuals must differ
+    r1, _ = problem.flux_residuals_and_entropy(params, centers, False)
+    r4, _ = problem.flux_residuals_and_entropy(params, centers, False,
+                                               scale=4.0)
+    assert not np.allclose(np.asarray(r1), np.asarray(r4))
+
+
 def test_flux_rejects_grad_weighting():
     exp = override(get_preset("abgrall_admm"), {
         "loss.residual_kind": "flux",
