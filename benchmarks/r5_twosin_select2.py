@@ -88,13 +88,24 @@ def main(base, toy=False):
         os.makedirs(os.path.dirname(CKPT), exist_ok=True)
         save_checkpoint(CKPT, stacked_adam, meta={"seeds": seeds})
 
+    tail_ckpt = CKPT.replace("_adam", "_tailed")
     t0 = time.time()
-    tailed, summaries = [], []
-    for m in unstack_states(stacked_adam, len(seeds)):
-        st, s = tr_tail.train(m)
-        tailed.append(st)
-        summaries.append(s)
-    stacked = stack_states(tailed)
+    if os.path.exists(tail_ckpt):
+        template = init_ensemble_states(tr_tail, seeds)
+        stacked = load_checkpoint(tail_ckpt, template)
+        summaries = [tr_tail.evaluate(m)
+                     for m in unstack_states(stacked, len(seeds))]
+        print(f"resumed tails from {tail_ckpt}", flush=True)
+    else:
+        tailed, summaries = [], []
+        for m in unstack_states(stacked_adam, len(seeds)):
+            st, s = tr_tail.train(m)
+            tailed.append(st)
+            summaries.append(s)
+        stacked = stack_states(tailed)
+        # persist: the battery below is a FRESH compile (relay-crash
+        # hazard) — a CPU process can re-grade from this checkpoint
+        save_checkpoint(tail_ckpt, stacked, meta={"seeds": seeds})
     wall = round(time.time() - t0, 1)
 
     scores = selection_scores(
@@ -152,11 +163,14 @@ def main(base, toy=False):
 if __name__ == "__main__":
     args = sys.argv[1:]
     toy = "--toy" in args
+    cpu = "--cpu" in args  # full config on CPU (relay-crash fallback:
+    #                        resumes the tailed ckpt and grades the battery)
     args = [a for a in args if not a.startswith("--")]
-    if toy:
+    if toy or cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if toy:
         OUT = OUT.replace(".jsonl", "_toy.jsonl")
         CKPT = CKPT.replace(".ckpt", "_toy.ckpt")
     main(int(args[0]) if args else 1234, toy=toy)
